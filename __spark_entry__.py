@@ -1,38 +1,438 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)       — flagship near-dup clustering on sf0.001 documents.
+queries()          — operator surface from SURVEY.md §2 + training-data ops.
+oracle_sql()       — DuckDB-equivalent ANSI SQL for every SQL-expressible op.
+
+Parity discipline (driver compares row-count + schema + order-insensitive
+value-hash at sf0.01):
+  * every computed column aliased identically on both sides
+  * unordered float SUMs go through DECIMAL so reassociation can't flip bits
+  * cosine scores are rounded to 6dp BEFORE ranking on both sides
+  * counts cast to BIGINT, ratios computed as exact-int-division -> double
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from fuzzy_dedupe_pipeline_spark.config import DedupeConfig
+from fuzzy_dedupe_pipeline_spark.dataflow import (
+    clean_docs,
+    dedupe_clusters,
+    simhash_near_dup_pairs,
+)
+from fuzzy_dedupe_pipeline_spark.similarity import brute_force_topk, lsh_ann_topk
+from fuzzy_dedupe_pipeline_spark.textstats import (
+    lang_id_col,
+    quality_score_cols,
+    token_count_col,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Near-dup clustering of the documents corpus (MinHash/LSH + SimHash +
+    substring + Jaccard verify + CC) — cluster assignments per doc."""
+    docs = _t(spark, SF_DEFAULT, "documents")
+    return dedupe_clusters(
+        spark, docs, DedupeConfig(), id_col="doc_id", text_col="text"
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family + A6: exact dedup via groupBy on raw text."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .select("rep_id", "n_docs")
+    )
+
+
+_ASCII_NONWORD = "[^a-z0-9_ ]"
+
+
+def _norm_ascii(c):
+    # ASCII-explicit normalization (entry-parity variant of P3; the engine's
+    # normalize_text_col keeps Python-re Unicode semantics instead)
+    out = F.lower(F.trim(c))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.regexp_replace(out, _ASCII_NONWORD, "")
+
+
+def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 normalization projection."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", _norm_ascii(F.col("text")).alias("text_norm"))
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score_cols(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+def _q_rep_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 analog: representative (most complete doc) per (lang, source)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang",
+            "source",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+        )
+    )
+
+
+def _q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A6 analog: per-group counts + exact mean length."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        (F.sum("n_chars") / F.count("*")).alias("mean_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+def _q_trigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J3 analog, SQL-expressible: word-trigram Jaccard similarity join
+    within (lang, source) blocks; relational shape (distinct-gram self-join)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    # posexplode + lead window (NOT transform+slice: expressions inside a
+    # higher-order-function lambda re-evaluate per element -> O(n^2) regex)
+    tok = d.select(
+        "doc_id", "lang", "source", F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = (
+        tok.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("tok").alias("t0"),
+            F.lead("tok", 1).over(w).alias("t1"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.concat_ws(" ", "t0", "t1", "t2").alias("gram"),
+        )
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    counts = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    shared = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    return (
+        shared.join(counts.select(F.col("doc_id").alias("id1"), F.col("n_grams").alias("n1")), "id1")
+        .join(counts.select(F.col("doc_id").alias("id2"), F.col("n_grams").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.01)
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id % 50 == 0)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # 4dp: coarse enough that a <=2-ulp engine difference in the double dot
+    # product can't flip the rounded value or the (cosine, id) rank order
+    return brute_force_topk(emb, queries, k=5, round_dp=4)
+
+
+def _q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join + aggregate: order revenue per nation (decimal-exact)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with deterministic total order."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered running aggregate per user over the events stream table."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("running_value"),
+    )
+
+
+# ---- rows-only (non-SQL-expressible) ----------------------------------------
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedupe_clusters(
+        spark, docs, DedupeConfig(), id_col="doc_id", text_col="text"
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clean = clean_docs(docs, "doc_id", "text")
+    return simhash_near_dup_pairs(clean, DedupeConfig(), max_hamming=8)
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_ann_topk(emb, queries, k=5, dim=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dedup": _q_exact_dedup,
+        "normalize_project": _q_normalize,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "rep_per_group": _q_rep_per_group,
+        "cluster_stats": _q_cluster_stats,
+        "trigram_jaccard_pairs": _q_trigram_jaccard,
+        "ann_cosine_topk": _q_ann_topk,
+        "join_agg_revenue": _q_join_agg,
+        "topk_orders": _q_topk_orders,
+        "window_running": _q_window_running,
+        # rows-only checks (LSH/CC/SimHash are not ANSI-SQL-expressible)
+        "minhash_lsh_dedup": _q_minhash_dedup,
+        "simhash_near_dup": _q_simhash_pairs,
+        "lsh_ann_topk": _q_lsh_ann,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+_STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
+_STOP_ES = "['el','la','de','que','y','en','un','una','los','por']"
+_STOP_DE = "['der','die','das','und','ist','von','mit','ein','eine','zu']"
+_STOP_FR = "['le','la','les','de','et','un','une','est','que','pour']"
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw_hits = (
+        rf"len(list_filter({_TOKS}, x -> list_contains({_STOP_EN}, x)))"
+    )
+    return {
+        "exact_dedup": """
+            SELECT min(doc_id) AS rep_id, count(*) AS n_docs
+            FROM documents GROUP BY text
+        """,
+        "normalize_project": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                                  '[^a-z0-9_ ]', '', 'g') AS text_norm
+            FROM documents
+        """,
+        "token_count": rf"""
+            SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents
+        """,
+        "quality_score": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(text)::BIGINT AS n_chars,
+                     len({_TOKS})::BIGINT AS n_tokens,
+                     {sw_hits}::BIGINT AS sw_hits,
+                     (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')))::BIGINT AS punct
+              FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round(CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens::DOUBLE ELSE 0.0 END, 6) AS mean_token_len,
+                   round(CASE WHEN n_tokens > 0 THEN sw_hits / n_tokens::DOUBLE ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(CASE WHEN n_chars > 0 THEN punct / n_chars::DOUBLE ELSE 0.0 END, 6) AS punct_ratio,
+                   round(
+                     (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN (n_chars - (n_tokens - 1)) / NULLIF(n_tokens,0)::DOUBLE >= 3
+                           AND (n_chars - (n_tokens - 1)) / NULLIF(n_tokens,0)::DOUBLE <= 12 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN sw_hits / NULLIF(n_tokens,0)::DOUBLE >= 0.01 THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN n_chars = 0 OR punct / n_chars::DOUBLE <= 0.2 THEN 0.1 ELSE 0.0 END), 6) AS quality_score
+            FROM t
+        """,
+        "lang_id": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_EN}, x))) AS h_en,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_ES}, x))) AS h_es,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_DE}, x))) AS h_de,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_FR}, x))) AS h_fr
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en,h_es,h_de,h_fr) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_en,h_es,h_de,h_fr) THEN 'en'
+                        WHEN h_es = greatest(h_en,h_es,h_de,h_fr) THEN 'es'
+                        WHEN h_de = greatest(h_en,h_es,h_de,h_fr) THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM t
+        """,
+        "rep_per_group": """
+            SELECT lang, source, doc_id AS rep_doc_id, n_chars AS rep_n_chars
+            FROM (
+              SELECT lang, source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang, source
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "cluster_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+                   sum(n_chars) / count(*)::DOUBLE AS mean_chars,
+                   max(n_chars)::BIGINT AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "trigram_jaccard_pairs": rf"""
+            WITH toks AS (
+              SELECT doc_id, lang, source, {_TOKS} AS t FROM documents
+            ), grams AS (
+              SELECT doc_id, lang, source,
+                     list_distinct(list_transform(range(1, len(t)-1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS gs
+              FROM toks WHERE len(t) >= 3
+            ), g AS (
+              SELECT doc_id, lang, source, unnest(gs) AS gram FROM grams
+            ), counts AS (
+              SELECT doc_id, len(gs) AS n_grams FROM grams
+            ), shared AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id1, id2,
+                   round(shared / (c1.n_grams + c2.n_grams - shared)::DOUBLE, 6) AS jaccard
+            FROM shared
+            JOIN counts c1 ON c1.doc_id = id1
+            JOIN counts c2 ON c2.doc_id = id2
+            WHERE shared / (c1.n_grams + c2.n_grams - shared)::DOUBLE >= 0.01
+        """,
+        # explicit per-element DOUBLE arithmetic (not list_cosine_similarity,
+        # which accumulates in float32) so the only engine delta is summation
+        # reassociation — absorbed by the 4dp round
+        "ann_cosine_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(
+                       list_sum(list_transform(range(1, len(q.embedding)+1),
+                                i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                                i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                                i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))), 4) AS cosine
+              FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+              WHERE q.vec_id % 50 = 0
+            )
+            SELECT query_id, neighbor_id, rank, cosine
+            FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "join_agg_revenue": """
+            SELECT n_name, count(*) AS n_orders,
+                   sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "window_running": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+                   round(sum(value::DECIMAL(18,2)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 2) AS running_value
+            FROM events
+        """,
+    }

@@ -31,7 +31,11 @@ class DedupeConfig:
     # --- substring (winnowed fingerprint) pass ----------------------------
     substring_gram: int = 35    # tokens per rolling-hash gram
     winnow_window: int = 16     # winnowing window (guarantee: runs >= gram+window-1 tokens)
-    min_containment: float = 0.5  # containment |A∩B|/min(|A|,|B|) to accept a substring pair
+    # substring verification: a shared verbatim run of R tokens yields ~R-k+1
+    # shared k-shingles, so requiring >= 40 shared shingles ~ a >= 44-token
+    # verified overlap (ratio-based containment fails when the run is embedded
+    # in a much larger host doc). Docs shorter than ~44 tokens can't qualify.
+    substring_min_shared_shingles: int = 40
 
     # --- verification cascade (reference J6 analog) ------------------------
     jaccard_threshold: float = 0.8        # primary theta (processor.py:149)

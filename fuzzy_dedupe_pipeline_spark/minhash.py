@@ -46,62 +46,126 @@ def lane_seeds(num_hashes: int, seed: int) -> np.ndarray:
     return base.astype(_U64)
 
 
-def shingles_col(tokens: Column, k: int) -> Column:
-    """Distinct xxhash64 of each k-word shingle, computed JVM-side.
+def token_hashes_col(tokens: Column) -> Column:
+    """xxhash64 per token — the ONLY lambda here binds the element variable,
+    so the tokens array is evaluated exactly once per row.
 
-    <k tokens -> single whole-string shingle (mirrors oracle.shingle_set);
-    0 tokens -> empty array.
+    (Earlier design computed shingles JVM-side as
+    `transform(sequence(...), i -> xxhash64(slice(tokens, i+1, k)))`; any
+    non-lambda-bound expression inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT, so the tokenize/normalize chain ran O(n) times
+    per row — O(n^2) regex work. Shingle assembly now happens in the Arrow UDF
+    from these per-token hashes.)
     """
-    whole = F.array(F.xxhash64(F.concat_ws(" ", tokens)))
-    n = F.size(tokens)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i + 1, k))),
-    )
-    return F.array_distinct(
-        F.when(n == 0, F.array().cast("array<bigint>"))
-        .when(n < k, whole)
-        .otherwise(grams)
-    )
+    return F.transform(tokens, lambda t: F.xxhash64(t))
+
+
+# --- rolling k-gram hashes (vectorized) --------------------------------------
+
+_RC = _U64(0x5DEECE66DB)  # odd multiplier -> invertible mod 2^64
+_RC_INV = _U64(pow(0x5DEECE66DB, -1, 1 << 64))
+
+
+def gram_hashes_flat(flat: np.ndarray, starts: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Polynomial hash of each token window (start, width) over the flat
+    uint64 token-hash vector, all windows at once.
+
+      g = splitmix64( (T[s+w] - T[s]) * C^(s+w-1) ),
+      T = prefix-cumsum of h[j] * C^-j   (wraparound uint64; C odd => C^-1 exists)
+
+    Equivalent to sum_{j} h[s+j] * C^(w-1-j) — order-sensitive, so distinct
+    token sequences get distinct hashes (mod 2^-64 collisions).
+    """
+    total = flat.size
+    with np.errstate(over="ignore"):
+        cinv_pow = np.cumprod(np.full(total, _RC_INV, dtype=_U64)) * _RC  # C^-j
+        t = np.zeros(total + 1, dtype=_U64)
+        np.cumsum(flat * cinv_pow, out=t[1:])
+        c_pow = np.cumprod(np.full(total, _RC, dtype=_U64)) * _RC_INV  # C^i
+        ends = starts + widths
+        return _splitmix64((t[ends] - t[starts]) * c_pow[ends - 1])
+
+
+def batch_shingle_sets(token_hash_rows: list[np.ndarray], k: int) -> list[np.ndarray]:
+    """Per-row DISTINCT k-gram shingle hashes for a whole Arrow batch.
+
+    The rolling-hash math runs once over the flattened batch (gram windows
+    never cross row boundaries because each row's windows are generated from
+    its own offsets); only the per-row np.unique runs row-at-a-time.
+    Rows with 0 < n < k get one whole-row shingle (mirrors oracle.shingle_set).
+    """
+    n_rows = len(token_hash_rows)
+    lens = np.fromiter((len(r) for r in token_hash_rows), dtype=np.int64, count=n_rows)
+    total = int(lens.sum())
+    if total == 0:
+        return [np.empty(0, dtype=np.int64)] * n_rows
+    flat = np.concatenate(
+        [np.asarray(r, dtype=np.int64) for r in token_hash_rows]
+    ).view(_U64)
+    offsets = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+
+    counts = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    widths_per_row = np.minimum(lens, k)
+    n_windows = int(counts.sum())
+    # window starts: offsets repeated + intra-row arange
+    row_of_window = np.repeat(np.arange(n_rows), counts)
+    excl = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(counts[:-1], out=excl[1:])
+    intra = np.arange(n_windows, dtype=np.int64) - np.repeat(excl, counts)
+    starts = offsets[row_of_window] + intra
+    widths = widths_per_row[row_of_window]
+    grams = gram_hashes_flat(flat, starts, widths).view(np.int64)
+
+    out: list[np.ndarray] = []
+    pos = 0
+    for c in counts:
+        out.append(np.unique(grams[pos : pos + c]) if c else np.empty(0, dtype=np.int64))
+        pos += c
+    return out
 
 
 def make_signature_udf(cfg: DedupeConfig):
-    """Arrow UDF: shingle-hash array -> (minhash array<long>, simhash long).
+    """Arrow UDF: token-hash array -> (shingles array<long>, minhash
+    array<long>, simhash long).
 
-    Vectorized across the whole Arrow batch: all rows' shingles are flattened
-    into one uint64 vector; each MinHash lane is one splitmix64 re-mix pass +
-    np.minimum.reduceat over row offsets. SimHash is a bit-vote matrix reduced
-    with np.add.reduceat. Zero per-row Python in the hot loop.
+    Vectorized across the whole Arrow batch: shingle construction is one
+    rolling-hash pass over the flattened batch; each MinHash lane is one
+    splitmix64 re-mix + np.minimum.reduceat over row offsets; SimHash is a
+    per-bit majority vote via np.add.reduceat. The only per-row Python is
+    np.unique + output assembly.
     """
     seeds = lane_seeds(cfg.num_hashes, cfg.seed)
     num_hashes = cfg.num_hashes
+    k = cfg.shingle_k
     empty_sig = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
 
     ret = T.StructType(
         [
+            T.StructField("shingles", T.ArrayType(T.LongType()), False),
             T.StructField("minhash", T.ArrayType(T.LongType()), False),
             T.StructField("simhash", T.LongType(), False),
         ]
     )
 
     @F.pandas_udf(ret)
-    def signature(shingles: pd.Series) -> pd.DataFrame:
-        n_rows = len(shingles)
-        lens = np.fromiter((len(s) for s in shingles), dtype=np.int64, count=n_rows)
+    def signature(token_hashes: pd.Series) -> pd.DataFrame:
+        n_rows = len(token_hashes)
+        shingle_rows = batch_shingle_sets(list(token_hashes), k)
+        lens = np.fromiter((len(s) for s in shingle_rows), dtype=np.int64, count=n_rows)
         total = int(lens.sum())
         if total == 0:
             return pd.DataFrame(
                 {
+                    "shingles": shingle_rows,
                     "minhash": [empty_sig] * n_rows,
                     "simhash": np.zeros(n_rows, dtype=np.int64),
                 }
             )
-        flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in shingles]).view(_U64)
+        flat = np.concatenate(shingle_rows).view(_U64)
         offsets = np.zeros(n_rows, dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
         nonempty = lens > 0
-        # reduceat needs strictly valid segment starts; run it on non-empty
-        # rows only, then scatter back
         ne_offsets = offsets[nonempty]
 
         with np.errstate(over="ignore"):
@@ -113,17 +177,22 @@ def make_signature_udf(cfg: DedupeConfig):
                 lane_min[:, j] = np.minimum.reduceat(mixed, ne_offsets)
             sigs[nonempty] = lane_min.view(np.int64)
 
-            # SimHash: per-bit vote sum over shingles
-            bits = ((flat[:, None] >> np.arange(64, dtype=_U64)) & _U64(1)).astype(
-                np.int32
-            )
-            votes = np.add.reduceat(2 * bits - 1, ne_offsets, axis=0)
+            # SimHash: majority vote per bit; per-bit passes keep peak memory
+            # at O(total_shingles), not O(total_shingles * 64)
+            ne_lens = lens[nonempty].view(_U64)
+            packed_ne = np.zeros(ne_offsets.size, dtype=_U64)
+            for b in range(64):
+                ones = np.add.reduceat((flat >> _U64(b)) & _U64(1), ne_offsets)
+                packed_ne |= (ones * _U64(2) > ne_lens).astype(_U64) << _U64(b)
             packed = np.zeros(n_rows, dtype=np.uint64)
-            bitvals = (votes > 0).astype(np.uint64) << np.arange(64, dtype=_U64)
-            packed[nonempty] = bitvals.sum(axis=1, dtype=np.uint64)
+            packed[nonempty] = packed_ne
 
         return pd.DataFrame(
-            {"minhash": list(sigs), "simhash": packed.view(np.int64)}
+            {
+                "shingles": shingle_rows,
+                "minhash": list(sigs),
+                "simhash": packed.view(np.int64),
+            }
         )
 
     return signature
@@ -143,13 +212,13 @@ def with_signatures(
         pages.select(
             F.col(id_col).alias("id"),
             F.size(toks).alias("n_tokens"),
-            shingles_col(toks, cfg.shingle_k).alias("shingles"),
+            token_hashes_col(toks).alias("token_hashes"),
         )
-        .withColumn("sig", sig_udf(F.col("shingles")))
+        .withColumn("sig", sig_udf(F.col("token_hashes")))
         .select(
             "id",
             "n_tokens",
-            "shingles",
+            F.col("sig.shingles").alias("shingles"),
             F.col("sig.minhash").alias("minhash"),
             F.col("sig.simhash").alias("simhash"),
         )

@@ -74,7 +74,9 @@ def extract_city_col(addr: Column) -> Column:
     """parts[-2] of comma-split address if >=3 parts and its first 3 chars
     contain no digit (processor.py:352-358)."""
     parts = F.split(addr.cast("string"), ",")
-    cand = F.trim(F.element_at(parts, -2))
+    # try_element_at: ANSI mode (Spark 4 default) makes element_at throw on
+    # short arrays even under a when() guard
+    cand = F.trim(F.try_element_at(parts, F.lit(-2)))
     ok = (F.size(parts) >= 3) & (cand != "") & ~F.substring(cand, 1, 3).rlike(r"\d")
     return F.when(ok, cand).otherwise(F.lit(""))
 
@@ -83,7 +85,7 @@ def extract_state_col(addr: Column) -> Column:
     """first \\b[A-Z]{2}\\b in the last comma-part if >=3 parts
     (processor.py:360-365)."""
     parts = F.split(addr.cast("string"), ",")
-    last = F.trim(F.element_at(parts, -1))
+    last = F.trim(F.try_element_at(parts, F.lit(-1)))
     st = F.regexp_extract(last, r"\b([A-Z]{2})\b", 1)
     return F.when(F.size(parts) >= 3, st).otherwise(F.lit(""))
 

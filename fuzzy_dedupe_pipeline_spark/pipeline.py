@@ -207,7 +207,7 @@ class DedupePipeline:
         """All duplicate-pair edges (exact + verified) of a completed run."""
         e = self.spark.read.parquet(self._path("05_edges"))
         x = self.spark.read.parquet(self._path("01_exact_edges"))
-        return e.unionByName(x)
+        return e.unionByName(x, allowMissingColumns=True)
 
     def members(self) -> DataFrame:
         return self.spark.read.parquet(self._path("06_members"))

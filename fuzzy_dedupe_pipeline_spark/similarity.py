@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per the scale playbook:
+  * brute-force cosine top-k — exact baseline; broadcast the (small) query set
+    against the corpus, dot products as built-in zip_with/aggregate
+    expressions (JVM, codegen'd — no Python in the hot loop)
+  * LSH-bucketed top-k — scale path: random-hyperplane signatures bucket the
+    corpus (one vectorized Arrow UDF: matmul + packbits), candidates are
+    bucket-colliders (multi-probe over all sign-bit tables), exact rerank
+    inside buckets. At 100 TB the bucket join replaces the corpus-wide cross
+    product; recall is tuned by n_tables x n_bits like MinHash banding.
+
+The reference's FAISS IndexFlatIP role (dedupe_logic/processor.py:120-138)
+maps to the brute-force path; the LSH path is what survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cosine_col(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n1 = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    n2 = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — exact top-k, self-match excluded.
+
+    queries must be broadcast-small (the common ANN-serving shape); the corpus
+    side streams. Deterministic total order: cosine desc, neighbor_id asc.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine_col(F.col("qvec"), F.col("cvec")), round_dp).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def make_hyperplane_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
+    """Arrow UDF: embedding -> array of n_tables bucket signatures.
+    One numpy matmul per batch (rows x dim @ dim x n_bits*n_tables)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits * n_tables)).astype(np.float32)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        bits = (m @ planes) > 0
+        bits = bits.reshape(len(m), -1, n_bits)  # rows x tables x bits
+        codes = (bits * weights).sum(axis=2)
+        # prefix table index so different tables never collide
+        codes = codes + (np.arange(codes.shape[1], dtype=np.int64) << np.int64(n_bits + 1))
+        return pd.Series(list(codes))
+
+    return buckets
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 12,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = ids sharing >=1 hyperplane bucket with
+    the query in any table; exact cosine rerank on candidates only."""
+    udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
+    cb = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+        .withColumn("bucket", F.explode(udf(F.col("cvec"))))
+    )
+    qb = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("bucket", F.explode(udf(F.col("qvec"))))
+    )
+    cand = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine_col(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -168,7 +168,10 @@ def generate_pages(n_docs: int = 500, seed: int = 42) -> SynthCorpus:
 
     hosts = rng.integers(0, max(4, n // 50), size=n)
     urls = [f"https://site{h}.example/p/{i}" for i, h in enumerate(hosts)]
-    warc_ts = pd.to_datetime(1_700_000_000 + np.arange(n) * 37, unit="s")
+    # microsecond unit: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    warc_ts = pd.to_datetime(1_700_000_000 + np.arange(n) * 37, unit="s").astype(
+        "datetime64[us]"
+    )
     langs = _LANGS[rng.integers(0, len(_LANGS), size=n)]
     htmls = [
         (HTML_PREFIX + _html.escape(t) + HTML_SUFFIX).encode("utf-8") for t in texts

@@ -1,0 +1,85 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All JVM-side built-in column expressions (deliberately: these run over every
+document of a 100 TB corpus, so they must stay inside whole-stage codegen) —
+language ID (stopword-hit heuristic), quality scoring, token counting, and a
+winnowed document fingerprint (reuses the substring machinery).
+
+Each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql so the DuckDB
+harness checks value-level parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small deterministic stopword inventories. Heuristic quality is not the
+# point (the driver corpus is synthetic); determinism + SQL-expressibility is.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+}
+LANG_PRIORITY = ("en", "es", "de", "fr")  # deterministic argmax tie-break
+
+
+def tokens_simple(c: Column) -> Column:
+    """Whitespace tokens (no normalization) — matches DuckDB
+    string_split_regex(text, '\\s+') on pre-trimmed input."""
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+def token_count_col(c: Column) -> Column:
+    return F.size(tokens_simple(c))
+
+
+def stopword_hits_col(c: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) that are stopwords of `lang`."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens_simple(c), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id_col(c: Column) -> Column:
+    """argmax over per-language stopword hit counts; ties resolved by
+    LANG_PRIORITY order; zero hits everywhere -> 'und'."""
+    hits = {lang: stopword_hits_col(c, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + composite score — the web-pipeline analog of
+    heuristic quality filters (length, punctuation density, stopword ratio,
+    mean token length). Pure double arithmetic, bit-identical in any ANSI
+    engine."""
+    c = F.col(text_col)
+    toks = tokens_simple(c)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    sw_hits = stopword_hits_col(c, "en")
+    punct = n_chars - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9_ ]", ""))
+    mean_tok_len = F.when(
+        n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, sw_hits / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 50) & (n_tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )

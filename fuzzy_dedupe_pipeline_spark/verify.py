@@ -10,9 +10,10 @@ Replaces the reference's verification signals with the north-rule analogs:
   'hybrid'/'semantic+address'/'semantic' cascade     'hybrid'/'jaccard+simhash'/'jaccard'
   confidence = min(0.95, (sem+addr)/2) | sem         same formula, same 0.95 cap
 
-One extra arm the reference cannot express: containment pairs ('substring'
-match_type) where a long verbatim run is shared but global Jaccard < 0.8
-(doc-inside-bigger-doc); kept when containment >= cfg.min_containment.
+One extra arm the reference cannot express: 'substring' pairs where a long
+verbatim run is shared but global Jaccard < 0.8 (run-inside-bigger-doc); kept
+when the shared-shingle COUNT certifies the run length
+(>= cfg.substring_min_shared_shingles).
 
 All arithmetic is built-in column expressions (array_intersect / bit_count);
 the join ships shingle arrays only for candidate pairs — a tiny fraction of
@@ -69,6 +70,7 @@ def verify_pairs(
         "id1",
         "id2",
         "substring_match",
+        inter.cast("long").alias("shared_shingles"),
         F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
         F.when(F.least(n1, n2) > 0, inter / F.least(n1, n2))
         .otherwise(F.lit(0.0))
@@ -79,9 +81,15 @@ def verify_pairs(
     )
 
     theta = F.lit(cfg.jaccard_threshold)
+    # substring arm: a shared verbatim run of R tokens -> ~R-k+1 shared
+    # shingles; the absolute count verifies run length regardless of how big
+    # the host document is (a ratio gate would miss short-run-in-long-doc)
     passed = scored.filter(
         (F.col("jaccard") >= theta)
-        | (F.col("substring_match") & (F.col("containment") >= cfg.min_containment))
+        | (
+            F.col("substring_match")
+            & (F.col("shared_shingles") >= cfg.substring_min_shared_shingles)
+        )
     )
 
     # match-type decision tree — same shape/constants as processor.py:161-169
@@ -93,6 +101,7 @@ def verify_pairs(
         "jaccard",
         "simhash_sim",
         "containment",
+        "shared_shingles",
         "substring_match",
         F.when(
             (jac >= theta)

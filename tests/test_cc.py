@@ -1,0 +1,75 @@
+"""Connected-components: DataFrame min-label propagation vs a union-find
+oracle, mirroring the reference BFS semantics (processor.py:206-228)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fuzzy_dedupe_pipeline_spark.cc import attach_singletons, connected_components
+
+
+def _uf_oracle(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {str(i): str(find(i)) for i in range(n_nodes)}
+
+
+def _run(spark, n_nodes, edges):
+    edf = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "id1 string, id2 string"
+    )
+    all_ids = spark.createDataFrame([(str(i),) for i in range(n_nodes)], "id string")
+    labels = connected_components(edf)
+    got = {
+        r.id: r.cluster_id for r in attach_singletons(all_ids, labels).collect()
+    }
+    # oracle labels by min int; ours by min string — compare partitions, not names
+    want = _uf_oracle(n_nodes, edges)
+    by_label_got: dict[str, set] = {}
+    by_label_want: dict[str, set] = {}
+    for k, v in got.items():
+        by_label_got.setdefault(v, set()).add(k)
+    for k, v in want.items():
+        by_label_want.setdefault(v, set()).add(k)
+    assert sorted(map(sorted, by_label_got.values())) == sorted(
+        map(sorted, by_label_want.values())
+    )
+    return got
+
+
+def test_chain(spark):
+    got = _run(spark, 6, [(0, 1), (1, 2), (2, 3)])
+    assert got["4"] == "4" and got["5"] == "5"  # singletons
+    assert len({got[str(i)] for i in range(4)}) == 1
+
+
+def test_two_cliques_with_bridge(spark):
+    cliq1 = [(a, b) for a in range(3) for b in range(a + 1, 3)]
+    cliq2 = [(a, b) for a in range(4, 7) for b in range(a + 1, 7)]
+    _run(spark, 8, cliq1 + cliq2 + [(2, 4)])
+
+
+def test_long_path_converges(spark):
+    # path of 40 nodes: stresses iteration count (diameter propagation)
+    _run(spark, 40, [(i, i + 1) for i in range(39)])
+
+
+def test_random_graph(spark):
+    rng = np.random.default_rng(7)
+    n = 1000
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(800, 2))
+        if a != b
+    ]
+    _run(spark, n, edges)

@@ -1,0 +1,110 @@
+"""End-to-end: recall >= 0.99 vs the reference-semantics oracle (the
+BASELINE.json gate), substring family capture, boilerplate non-merge,
+checkpoint-resume, metrics/lineage."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from fuzzy_dedupe_pipeline_spark import oracle
+from fuzzy_dedupe_pipeline_spark.config import DedupeConfig
+from fuzzy_dedupe_pipeline_spark.pipeline import DedupePipeline
+
+
+@pytest.fixture(scope="module")
+def run(spark, pages_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    shutil.rmtree(out, ignore_errors=True)
+    p = DedupePipeline(spark, out, DedupeConfig(), run_id="t1")
+    clusters = p.run(pages_df).toPandas()
+    return p, clusters, out
+
+
+def _co_membership(clusters):
+    m = clusters[["url", "cluster_id"]]
+    co = m.merge(m, on="cluster_id")
+    co = co[co.url_x < co.url_y]
+    return co.rename(columns={"url_x": "url1", "url_y": "url2"})
+
+
+def test_recall_ge_099(run, corpus):
+    _, clusters, _ = run
+    expected = oracle.true_pairs(corpus.pages, corpus.truth)
+    co = _co_membership(clusters)
+    rec = oracle.pair_recall(co, expected)
+    assert rec >= 0.99, f"dup-pair recall {rec} < 0.99 ({len(expected)} true pairs)"
+
+
+def test_substring_family_clustered(run, corpus):
+    """Planted >=60-token-run containment dups must merge with their source
+    (the suffix-array-substitute pass), even when global Jaccard < 0.8."""
+    _, clusters, _ = run
+    truth = corpus.truth
+    cl = clusters.set_index("url").cluster_id
+    subs = truth[truth.kind == "substring"]
+    merged = 0
+    for _, row in subs.iterrows():
+        fam = truth[(truth.family_id == row.family_id) & (truth.url != row.url)]
+        if any(cl[row.url] == cl[u] for u in fam.url):
+            merged += 1
+    assert merged / max(len(subs), 1) >= 0.95, f"{merged}/{len(subs)}"
+
+
+def test_boilerplate_not_merged(run, corpus):
+    _, clusters, _ = run
+    boiler = set(corpus.truth[corpus.truth.kind == "boiler"].url)
+    sizes = clusters[clusters.url.isin(boiler)].duplicate_count
+    assert (sizes == 1).all()
+
+
+def test_exact_family_same_cluster(run, corpus):
+    _, clusters, _ = run
+    df = corpus.truth[corpus.truth.kind.isin(["exact", "exact_src"])]
+    cl = clusters.set_index("url").cluster_id
+    for fid, grp in df.groupby("family_id"):
+        labels = {cl[u] for u in grp.url}
+        assert len(labels) == 1, f"family {fid} split into {labels}"
+
+
+def test_output_shape(run):
+    _, clusters, _ = run
+    assert list(clusters.columns) == [
+        "url",
+        "cluster_id",
+        "confidence_score",
+        "duplicate_count",
+        "is_representative",
+    ]
+    # one representative per cluster
+    reps = clusters[clusters.is_representative]
+    assert reps.cluster_id.is_unique
+    assert set(reps.cluster_id) == set(clusters.cluster_id)
+    # singleton confidence defaults to 1.0 (processor.py:252)
+    singles = clusters[clusters.duplicate_count == 1]
+    assert (singles.confidence_score == 1.0).all()
+
+
+def test_resume_skips_and_matches(run, spark, pages_df):
+    _, clusters, out = run
+    p2 = DedupePipeline(spark, out, DedupeConfig(), run_id="t2")
+    again = p2.run(pages_df).toPandas()
+    assert p2.recomputed == []
+    a = clusters.sort_values("url").reset_index(drop=True)
+    b = again.sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_metrics_lineage(run, spark):
+    _, _, out = run
+    m = spark.read.parquet(f"{out}/metrics").toPandas()
+    stage_rows = m[m.partition_id == -1]
+    assert set(stage_rows[stage_rows.status == "success"].stage) >= {
+        "00_pages_clean",
+        "02_sigs",
+        "07_clusters",
+    }
+    assert (stage_rows.duration_ms.dropna() >= 0).all()
+    # per-partition lineage rows exist
+    assert (m.partition_id >= 0).any()

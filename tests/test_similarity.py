@@ -1,0 +1,66 @@
+"""ANN: brute-force exactness vs numpy; LSH recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fuzzy_dedupe_pipeline_spark.similarity import brute_force_topk, lsh_ann_topk
+
+DIM = 16
+
+
+def _emb_df(spark, n=120, seed=9):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def _numpy_topk(vecs, qids, k):
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        cos = norms @ norms[q]
+        cos[q] = -np.inf
+        order = np.lexsort((np.arange(len(cos)), -np.round(cos, 6)))
+        out[q] = list(order[:k])
+    return out
+
+
+def test_brute_force_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    qids = [0, 7, 33]
+    q = df.filter(df.vec_id.isin(qids))
+    got = brute_force_topk(df, q, k=5).collect()
+    want = _numpy_topk(vecs, qids, 5)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid in qids:
+        ordered = [n for _, n in sorted(by_q[qid])]
+        assert ordered == want[qid], (qid, ordered, want[qid])
+
+
+def test_lsh_ann_recall(spark):
+    df, vecs = _emb_df(spark, n=200, seed=11)
+    qids = list(range(0, 200, 40))
+    q = df.filter(df.vec_id.isin(qids))
+    exact = brute_force_topk(df, q, k=5).collect()
+    # random Gaussian corpus -> top neighbors sit near cos ~0.6; collision
+    # prob per table (1 - theta/pi)^bits => 4 bits x 16 tables gives ~0.99
+    approx = lsh_ann_topk(df, q, k=5, dim=DIM, n_bits=4, n_tables=16).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, recall
+
+
+def test_lsh_deterministic(spark):
+    df, _ = _emb_df(spark)
+    q = df.filter(df.vec_id < 3)
+    a = sorted(map(tuple, lsh_ann_topk(df, q, k=3, dim=DIM).collect()))
+    b = sorted(map(tuple, lsh_ann_topk(df, q, k=3, dim=DIM).collect()))
+    assert a == b
