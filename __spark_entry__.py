@@ -25,8 +25,13 @@ from fuzzy_dedupe_pipeline_spark.dataflow import (
     dedupe_clusters,
     simhash_near_dup_pairs,
 )
-from fuzzy_dedupe_pipeline_spark.similarity import brute_force_topk, lsh_ann_topk
+from fuzzy_dedupe_pipeline_spark.similarity import (
+    brute_force_topk,
+    cosine_dup_pairs,
+    lsh_ann_topk,
+)
 from fuzzy_dedupe_pipeline_spark.textstats import (
+    doc_fingerprints,
     lang_id_col,
     quality_score_cols,
     token_count_col,
@@ -198,6 +203,17 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5, round_dp=4)
 
 
+def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs verify baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, threshold=0.35, round_dp=4)
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed md5 k-gram document fingerprints (Schleimer-style, k=8 w=4)."""
+    return doc_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=4)
+
+
 def _q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-join + aggregate: order revenue per nation (decimal-exact)."""
     orders = _t(spark, sf_dir, "orders")
@@ -271,6 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_per_group": _q_rep_per_group,
         "cluster_stats": _q_cluster_stats,
         "trigram_jaccard_pairs": _q_trigram_jaccard,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
+        "doc_fingerprint": _q_doc_fingerprint,
         "ann_cosine_topk": _q_ann_topk,
         "join_agg_revenue": _q_join_agg,
         "topk_orders": _q_topk_orders,
@@ -390,6 +408,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts c1 ON c1.doc_id = id1
             JOIN counts c2 ON c2.doc_id = id2
             WHERE shared / (c1.n_grams + c2.n_grams - shared)::DOUBLE >= 0.01
+        """,
+        "cosine_dup_pairs": """
+            WITH s AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                     round(
+                       list_sum(list_transform(range(1, len(a.embedding)+1),
+                                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                                i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                                i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 4) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT id1, id2, cosine FROM s WHERE cosine >= 0.35
+        """,
+        "doc_fingerprint": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(t) AS tok,
+                     generate_subscripts(t, 1) - 1 AS pos
+              FROM toks
+            ), grams AS (
+              SELECT doc_id, pos,
+                     md5(concat_ws(' ', tok,
+                         lead(tok,1) OVER w, lead(tok,2) OVER w, lead(tok,3) OVER w,
+                         lead(tok,4) OVER w, lead(tok,5) OVER w, lead(tok,6) OVER w,
+                         lead(tok,7) OVER w)) AS gram,
+                     lead(tok,7) OVER w AS last_tok
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), fp AS (
+              SELECT doc_id, pos,
+                     min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+              FROM grams WHERE last_tok IS NOT NULL
+            )
+            SELECT DISTINCT doc_id, fingerprint FROM fp WHERE pos >= 3
         """,
         # explicit per-element DOUBLE arithmetic (not list_cosine_similarity,
         # which accumulates in float32) so the only engine delta is summation

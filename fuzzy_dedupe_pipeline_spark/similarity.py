@@ -78,6 +78,45 @@ def brute_force_topk(
     )
 
 
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id1, id2, cosine) with
+    id1 < id2 and round(cosine, round_dp) >= threshold.
+
+    Exact all-pairs variant (the verification baseline). At 100 TB this self
+    cross-join is infeasible corpus-wide — pass block_col (a cluster/prefix/
+    LSH-bucket column) to restrict the join to equi-blocks Catalyst shuffles
+    on, or generate candidates with lsh_ann_topk and verify those pairs only.
+    """
+    left_cols = [F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")]
+    right_cols = [F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")]
+    if block_col is not None:
+        left_cols.append(F.col(block_col).alias("b1"))
+        right_cols.append(F.col(block_col).alias("b2"))
+    a = corpus.select(*left_cols)
+    b = corpus.select(*right_cols)
+    cond = F.col("id1") < F.col("id2")
+    if block_col is not None:
+        cond = (F.col("b1") == F.col("b2")) & cond
+    return (
+        a.join(b, cond)
+        .select(
+            "id1",
+            "id2",
+            F.round(_cosine_col(F.col("v1"), F.col("v2")), round_dp).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def make_hyperplane_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
     """Arrow UDF: embedding -> array of n_tables bucket signatures.
     One numpy matmul per batch (rows x dim @ dim x n_bits*n_tables)."""

@@ -11,7 +11,7 @@ harness checks value-level parity.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small deterministic stopword inventories. Heuristic quality is not the
@@ -82,4 +82,52 @@ def quality_score_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 6).alias("quality_score"),
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (Schleimer et al. 2003),
+    SQL-expressible variant: md5 over k-token grams, per-window minimum, set
+    semantics. Returns (doc_id, fingerprint) — one row per distinct selected
+    fingerprint. Docs shorter than k+window-1 tokens yield no rows.
+
+    Winnowing guarantee: any shared verbatim token run of >= k+window-1 tokens
+    shares at least one selected fingerprint, so equi-joining this output on
+    `fingerprint` is a scalable (shuffle-on-key) substring-candidate generator.
+    The dedup pipeline's internal pass (substring.py) uses a faster numeric
+    rolling hash inside an Arrow UDF; this one trades speed for an exact
+    ANSI-SQL twin (md5 is bit-identical across engines).
+    """
+    toks = tokens_simple(F.col(text_col))
+    tok = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w_lead = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w_lead) for i in range(1, k)
+    ]
+    grams = (
+        tok.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.lead("tok", k - 1).over(w_lead).alias("_last"),
+            F.md5(F.concat_ws(" ", *parts)).alias("gram"),
+        )
+        .filter(F.col("_last").isNotNull())  # drop incomplete tail grams
+        .drop("_last")
+    )
+    w_min = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return (
+        grams.withColumn("fingerprint", F.min("gram").over(w_min))
+        .filter(F.col("pos") >= window - 1)  # full windows only
+        .select(F.col(id_col), "fingerprint")
+        .dropDuplicates([id_col, "fingerprint"])
     )
