@@ -17,7 +17,7 @@ from fuzzy_dedupe_pipeline_spark.cc import attach_singletons, connected_componen
 from fuzzy_dedupe_pipeline_spark.config import DEFAULT_CONFIG, DedupeConfig
 from fuzzy_dedupe_pipeline_spark.lsh import candidate_pairs
 from fuzzy_dedupe_pipeline_spark.minhash import simhash_similarity_col, with_signatures
-from fuzzy_dedupe_pipeline_spark.normalize import normalize_text_col, tokens_col
+from fuzzy_dedupe_pipeline_spark.normalize import normalize_text_col, tokens_raw_col
 from fuzzy_dedupe_pipeline_spark.substring import substring_candidates
 from fuzzy_dedupe_pipeline_spark.verify import verify_pairs
 
@@ -62,7 +62,7 @@ def dedupe_edges(
     lsh_pairs, _ = candidate_pairs(sigs, cfg)
     if with_substring:
         toks = clean_reps.select(
-            "id", tokens_col(F.col("text_norm")).alias("tokens")
+            "id", tokens_raw_col(F.col("text_norm")).alias("tokens")
         )
         sub_pairs, _ = substring_candidates(toks, cfg)
     else:
@@ -77,11 +77,24 @@ def dedupe_clusters(
     id_col: str = "url",
     text_col: str = "text",
     with_substring: bool = True,
+    rebalance_input: bool = True,
 ) -> DataFrame:
     """Full flagship flow on any (id, text) table ->
     clusters(url, cluster_id, confidence_score, duplicate_count,
-    is_representative)."""
-    clean = clean_docs(docs, id_col, text_col).persist()
+    is_representative).
+
+    rebalance_input round-robin-repartitions the corpus to the session's
+    default parallelism before the signature stages. Source layout is not to
+    be trusted: a single unsplittable parquet row group puts EVERY row in one
+    partition and serializes all three Arrow-UDF passes onto one core (file
+    splits exist but only the one containing the row-group start gets rows).
+    One cheap shuffle of the text buys guaranteed balance; disable it only
+    when the input is known well-partitioned (e.g. a bucketed Iceberg table).
+    """
+    clean = clean_docs(docs, id_col, text_col)
+    if rebalance_input:
+        clean = clean.repartition(spark.sparkContext.defaultParallelism)
+    clean = clean.persist()
     exact = exact_edges_df(clean).persist()
     reps = clean.join(
         exact.select(F.col("id2").alias("id")), "id", "left_anti"

@@ -46,7 +46,9 @@ def candidate_pairs(
     (band_id, band_hash, bucket_size) for every bucket excluded by the skew
     cap — the caller persists it to the metrics/lineage table.
     """
-    bands = band_table(sigs, cfg)
+    # bands feeds three plan branches (bucket sizes, both self-join sides);
+    # persist so the signature chain upstream isn't re-executed per branch
+    bands = band_table(sigs, cfg).persist()
     sizes = bands.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_size")
     )

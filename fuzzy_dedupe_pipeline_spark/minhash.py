@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fuzzy_dedupe_pipeline_spark.config import DedupeConfig
-from fuzzy_dedupe_pipeline_spark.normalize import tokens_col
+from fuzzy_dedupe_pipeline_spark.normalize import tokens_col, tokens_raw_col
 
 _U64 = np.uint64
 _GOLDEN = _U64(0x9E3779B97F4A7C15)
@@ -142,6 +142,7 @@ def make_signature_udf(cfg: DedupeConfig):
 
     ret = T.StructType(
         [
+            T.StructField("n_tokens", T.IntegerType(), False),
             T.StructField("shingles", T.ArrayType(T.LongType()), False),
             T.StructField("minhash", T.ArrayType(T.LongType()), False),
             T.StructField("simhash", T.LongType(), False),
@@ -151,12 +152,17 @@ def make_signature_udf(cfg: DedupeConfig):
     @F.pandas_udf(ret)
     def signature(token_hashes: pd.Series) -> pd.DataFrame:
         n_rows = len(token_hashes)
-        shingle_rows = batch_shingle_sets(list(token_hashes), k)
+        rows = list(token_hashes)
+        # n_tokens computed here, NOT as a separate F.size(tokens) projection —
+        # that would duplicate the whole normalize/tokenize chain in the plan
+        n_tokens = np.fromiter((len(r) for r in rows), dtype=np.int32, count=n_rows)
+        shingle_rows = batch_shingle_sets(rows, k)
         lens = np.fromiter((len(s) for s in shingle_rows), dtype=np.int64, count=n_rows)
         total = int(lens.sum())
         if total == 0:
             return pd.DataFrame(
                 {
+                    "n_tokens": n_tokens,
                     "shingles": shingle_rows,
                     "minhash": [empty_sig] * n_rows,
                     "simhash": np.zeros(n_rows, dtype=np.int64),
@@ -189,6 +195,7 @@ def make_signature_udf(cfg: DedupeConfig):
 
         return pd.DataFrame(
             {
+                "n_tokens": n_tokens,
                 "shingles": shingle_rows,
                 "minhash": list(sigs),
                 "simhash": packed.view(np.int64),
@@ -199,25 +206,35 @@ def make_signature_udf(cfg: DedupeConfig):
 
 
 def with_signatures(
-    pages: DataFrame, cfg: DedupeConfig, id_col: str = "url", text_col: str = "text_norm"
+    pages: DataFrame,
+    cfg: DedupeConfig,
+    id_col: str = "url",
+    text_col: str = "text_norm",
+    pre_normalized: bool = True,
 ) -> DataFrame:
     """id, n_tokens, shingles, minhash, simhash for every page.
+
+    pre_normalized: text_col already went through normalize_text_col (the
+    standard dataflow — clean_docs runs first). Normalization is idempotent,
+    so skipping the re-normalize only removes two regex passes per doc from
+    the plan, not any semantics. Pass False for raw text.
 
     Docs with zero shingles are kept here (callers filter before banding so
     empty docs can't flood LSH buckets).
     """
     sig_udf = make_signature_udf(cfg)
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_raw_col(F.col(text_col)) if pre_normalized else tokens_col(
+        F.col(text_col)
+    )
     out = (
         pages.select(
             F.col(id_col).alias("id"),
-            F.size(toks).alias("n_tokens"),
             token_hashes_col(toks).alias("token_hashes"),
         )
         .withColumn("sig", sig_udf(F.col("token_hashes")))
         .select(
             "id",
-            "n_tokens",
+            F.col("sig.n_tokens").alias("n_tokens"),
             F.col("sig.shingles").alias("shingles"),
             F.col("sig.minhash").alias("minhash"),
             F.col("sig.simhash").alias("simhash"),

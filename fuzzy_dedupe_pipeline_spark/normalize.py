@@ -48,6 +48,14 @@ def tokens_col(c: Column) -> Column:
     return F.filter(F.split(normalize_text_col(c), r"\s+"), lambda x: x != "")
 
 
+def tokens_raw_col(c: Column) -> Column:
+    """Whitespace tokens of ALREADY-normalized text — identical output to
+    tokens_col on normalize_text_col output (normalization is idempotent and
+    the empty-string filter absorbs leading/trailing whitespace), minus the
+    two regex passes."""
+    return F.filter(F.split(F.coalesce(c, F.lit("")), r"\s+"), lambda x: x != "")
+
+
 def normalize_phone_col(c: Column) -> Column:
     """Digits only; '#ERROR!'/null -> '' (processor.py:47-51)."""
     digits = F.regexp_replace(c.cast("string"), r"\D", "")

@@ -35,7 +35,7 @@ from fuzzy_dedupe_pipeline_spark.config import DEFAULT_CONFIG, DedupeConfig
 from fuzzy_dedupe_pipeline_spark.lsh import candidate_pairs
 from fuzzy_dedupe_pipeline_spark.metrics import MetricsLog, StageTimer
 from fuzzy_dedupe_pipeline_spark.minhash import with_signatures
-from fuzzy_dedupe_pipeline_spark.normalize import ingest_pages, tokens_col
+from fuzzy_dedupe_pipeline_spark.normalize import ingest_pages, tokens_raw_col
 from fuzzy_dedupe_pipeline_spark.substring import substring_candidates
 from fuzzy_dedupe_pipeline_spark.verify import verify_pairs
 
@@ -103,11 +103,16 @@ class DedupePipeline:
     def run(self, pages: DataFrame) -> DataFrame:
         cfg = self.cfg
 
+        # round-robin rebalance at ingest: source layout is untrusted (one
+        # unsplittable row group = every row in one partition = all Arrow-UDF
+        # stages serialized onto one core); the stage write then produces
+        # defaultParallelism splittable files for every downstream stage
+        par = self.spark.sparkContext.defaultParallelism
         pages_clean = self._run_stage(
             "00_pages_clean",
-            lambda: ingest_pages(pages).select(
-                "url", "warc_ts", "lang", "text_final", "text_norm"
-            ),
+            lambda: ingest_pages(pages)
+            .select("url", "warc_ts", "lang", "text_final", "text_norm")
+            .repartition(par),
         )
 
         # exact dedup first: group identical normalized text
@@ -153,7 +158,7 @@ class DedupePipeline:
                 exact_edges.select(F.col("id2").alias("url")), "url", "left_anti"
             ).select(
                 F.col("url").alias("id"),
-                tokens_col(F.col("text_norm")).alias("tokens"),
+                tokens_raw_col(F.col("text_norm")).alias("tokens"),
             )
             pairs, dropped = substring_candidates(reps_tok, cfg)
             return self._log_dropped("04_sub_pairs", pairs, dropped)

@@ -83,6 +83,9 @@ def substring_candidates(
         .withColumn("fp", F.explode(winnow_udf(F.col("th"))))
         .select("id", "fp")
         .dropDuplicates(["id", "fp"])
+        # fps feeds three plan branches (bucket sizes, both self-join sides);
+        # without persist the tokenize+winnow UDF chain re-executes per branch
+        .persist()
     )
     sizes = fps.groupBy("fp").agg(F.count("*").alias("bucket_size"))
     dropped = sizes.filter(F.col("bucket_size") > cfg.max_band_bucket)

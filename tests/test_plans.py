@@ -1,0 +1,102 @@
+"""Physical-plan assertions — the scale contract, checked like any other test.
+
+Correctness tests prove the small-SF answers; these prove the *plans* are the
+ones that survive 100 TB: filters reach the parquet scan, projections prune
+the read schema, small dimensions broadcast, aggregates are map-side partial,
+and nothing in the dedup dataflow degenerates to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    plan = _plan(df)
+    # filter pushed to the scan
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters: [")[1].split("]")[0]
+    # only the needed columns are read (text must NOT be scanned)
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "n_chars" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema.replace("n_chars", "")
+
+
+def test_join_agg_broadcasts_dimensions(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["join_agg_revenue"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # both dims must broadcast
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+
+
+def test_group_agg_is_partial(spark):
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["cluster_stats"](spark, SF))
+    before, _, after = plan.partition("Exchange")
+    assert "HashAggregate" in before and "HashAggregate" in after
+
+
+def test_flagship_has_no_cartesian_product(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the LSH band self-join and CC joins are all equi-joins
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_band_join_is_equi_join(spark):
+    from fuzzy_dedupe_pipeline_spark.config import DedupeConfig
+    from fuzzy_dedupe_pipeline_spark.dataflow import clean_docs
+    from fuzzy_dedupe_pipeline_spark.lsh import candidate_pairs
+    from fuzzy_dedupe_pipeline_spark.minhash import with_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    clean = clean_docs(docs, "doc_id", "text")
+    sigs = with_signatures(
+        clean.select(F.col("id").alias("url"), "text_norm"),
+        DedupeConfig(),
+        id_col="url",
+        text_col="text_norm",
+    )
+    pairs, _ = candidate_pairs(sigs, DedupeConfig())
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_session_scale_confs(spark):
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    from fuzzy_dedupe_pipeline_spark.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    plan = _plan(brute_force_topk(emb, q, k=5))
+    # query side must broadcast; corpus side streams (no shuffle of the corpus
+    # before the join)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
