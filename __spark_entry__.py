@@ -256,6 +256,30 @@ def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time window per event_type — the batch twin of the
+    Structured Streaming windowed aggregation (F.window is the same operator
+    readStream uses with a watermark)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "6 hours").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---- rows-only (non-SQL-expressible) ----------------------------------------
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg_revenue": _q_join_agg,
         "topk_orders": _q_topk_orders,
         "window_running": _q_window_running,
+        "tumbling_window_agg": _q_tumbling_window,
         # rows-only checks (LSH/CC/SimHash are not ANSI-SQL-expressible)
         "minhash_lsh_dedup": _q_minhash_dedup,
         "simhash_near_dup": _q_simhash_pairs,
@@ -491,5 +516,13 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 2) AS running_value
             FROM events
+        """,
+        "tumbling_window_agg": """
+            SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
     }

@@ -113,3 +113,38 @@ def test_stream_merges_clusters_across_batches(spark, stream_dirs, tmp_path):
     labels = spark.read.parquet(inc.labels_path)
     got = {r["id"]: r["cluster_id"] for r in labels.collect()}
     assert got["u:a"] == got["u:b"] == "u:a"
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    """readStream + event-time window agg (the Structured Streaming shape of
+    tumbling_window_agg) drained with availableNow == the batch result."""
+    src = "/root/testdata/sf0.001/events.parquet"
+    # watermarks need TIMESTAMP (LTZ); the table stores TIMESTAMP_NTZ.
+    # session TZ is UTC so the cast is value-preserving.
+    events = spark.read.parquet(src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = lambda df: (
+        df.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    want = {(r["ws"], r["event_type"]): r["n"] for r in agg(events).collect()}
+
+    indir = str(tmp_path / "ev_in")
+    events.repartition(3).write.mode("overwrite").parquet(indir)
+    stream = spark.readStream.schema(events.schema).parquet(indir)
+    q = (
+        agg(stream.withWatermark("ts", "1 hour"))
+        .writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    assert got == want
