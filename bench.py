@@ -223,10 +223,11 @@ def _write_baseline_md() -> None:
         "**Methodology / noise.** This sandbox host shows 5x wall-clock swings",
         "between *identical* runs (outside-the-VM interference; load-average",
         "bursts >10 while the VM itself is idle). Each level is therefore",
-        "measured as the MINIMUM over >=6 runs, alternating levels across",
-        "cycles so interference windows hit both equally; every raw run is",
-        "listed below. Min-of-N is the standard robust estimator of machine",
-        "capability under asymmetric noise.",
+        "measured as the MINIMUM over all runs of that (level, corpus)",
+        "configuration, alternating levels across cycles so interference",
+        "windows hit both equally, pooling runs across invocations; every",
+        "raw run is listed below. Min-of-N is the standard robust estimator",
+        "of machine capability under asymmetric noise.",
         "",
     ]
     for r in pairs:

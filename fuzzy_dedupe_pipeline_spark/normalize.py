@@ -36,8 +36,12 @@ def normalize_text_col(c: Column) -> Column:
     space) — tokenization must split on whitespace runs, not single spaces.
     Null/empty input -> '' (processor.py:54-55).
     """
-    out = F.lower(F.trim(c.cast("string")))
-    out = F.regexp_replace(out, _WS_PATTERN, " ")
+    # trim AFTER the \s+ collapse: Spark trim strips only ASCII ' ', but the
+    # reference's Python .strip() strips ALL whitespace (tab, NBSP, ...);
+    # collapsing first reduces any edge whitespace run to a single ' ', which
+    # trim then removes — exactly .strip()-then-collapse semantics
+    out = F.lower(c.cast("string"))
+    out = F.trim(F.regexp_replace(out, _WS_PATTERN, " "))
     out = F.regexp_replace(out, _NONWORD_PATTERN, "")
     return F.coalesce(out, F.lit(""))
 

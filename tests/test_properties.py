@@ -1,0 +1,172 @@
+"""Property-based tests (SURVEY §5.5): invariants that hold for ALL inputs.
+
+Spark-session-per-example is too slow for hypothesis, so each property runs
+the ENGINE expression once over a DataFrame built from the whole example
+batch — same engine code path, hypothesis-grade input coverage.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fuzzy_dedupe_pipeline_spark.normalize import normalize_text_col
+
+# the reference's normalize (processor.py:53-60), reimplemented as the oracle
+_WS = re.compile(r"\s+", re.UNICODE)
+_NW = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def _ref_normalize(s: str | None) -> str:
+    if s is None:
+        return ""
+    out = s.lower().strip()
+    out = _WS.sub(" ", out)
+    out = _NW.sub("", out)
+    return out
+
+
+# combining marks / format chars excluded: Java's (?U)\w and Python's re \w
+# genuinely classify Mn/Mc/Me/Cf differently — a known JVM-vs-CPython regex
+# divergence outside the reference's input domain (Latin business records)
+TEXTS = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Mn", "Mc", "Me", "Cf", "Co", "Cn")
+            ),
+            max_size=60,
+        ),
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po", "Sm")
+            ),
+            max_size=120,
+        ),
+        st.text(alphabet=" \t\n\r\x0b\x0c abc_!.", max_size=30),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _normalize_batch(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    rows = (
+        df.select("i", normalize_text_col(F.col("t")).alias("n"))
+        .orderBy("i")
+        .collect()
+    )
+    return [r["n"] for r in rows]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=TEXTS)
+def test_normalize_matches_reference_regexes(spark, texts):
+    got = _normalize_batch(spark, texts)
+    want = [_ref_normalize(t) for t in texts]
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=TEXTS)
+def test_normalize_idempotent(spark, texts):
+    once = _normalize_batch(spark, texts)
+    twice = _normalize_batch(spark, once)
+    assert once == twice
+
+
+def test_cc_label_is_component_min(spark):
+    """CC invariant on a random graph: every node's label == min id reachable
+    from it (checked against a driver-side union-find)."""
+    import random
+
+    from fuzzy_dedupe_pipeline_spark.cc import connected_components
+
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes if find(n) != n or any(n in e for e in edges)}
+
+    df = spark.createDataFrame(edges, "id1 string, id2 string")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    for node, label in got.items():
+        assert label == find(node), (node, label, find(node))
+
+
+def test_jaccard_symmetric_and_bounded(spark):
+    """verify_pairs' Jaccard: symmetric under pair orientation, in [0,1],
+    1.0 iff identical shingle sets."""
+    from fuzzy_dedupe_pipeline_spark.config import DedupeConfig
+    from fuzzy_dedupe_pipeline_spark.minhash import with_signatures
+    from fuzzy_dedupe_pipeline_spark.verify import verify_pairs
+
+    cfg = DedupeConfig()
+    texts = {
+        "a": "one two three four five six seven eight nine ten",
+        "b": "one two three four five six seven eight nine ten",
+        "c": "one two three four five six SEVEN eight nine ten",
+        "d": "totally different words in this document here now",
+    }
+    sigs = with_signatures(
+        spark.createDataFrame(list(texts.items()), "url string, text_norm string"),
+        cfg,
+        id_col="url",
+        text_col="text_norm",
+    )
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("c", "d")],
+        "id1 string, id2 string",
+    )
+    flipped = cand.select(
+        F.col("id2").alias("id1"), F.col("id1").alias("id2")
+    )
+    j1 = {
+        frozenset((r["id1"], r["id2"])): r["jaccard"]
+        for r in verify_pairs(cand, cand.limit(0), sigs, cfg)
+        .select("id1", "id2", "jaccard")
+        .collect()
+    }
+    j2 = {
+        frozenset((r["id1"], r["id2"])): r["jaccard"]
+        for r in verify_pairs(flipped, flipped.limit(0), sigs, cfg)
+        .select("id1", "id2", "jaccard")
+        .collect()
+    }
+    assert j1 == j2
+    assert j1[frozenset(("a", "b"))] == 1.0
+    for v in j1.values():
+        assert 0.0 <= v <= 1.0
