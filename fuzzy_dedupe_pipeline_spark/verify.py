@@ -49,7 +49,21 @@ def verify_pairs(
             "full_outer",
         )
         .fillna({"from_lsh": False, "substring_match": False})
+        .persist()  # feeds the id prefilter AND the scoring join
     )
+
+    # semi-join prefilter: only candidate endpoints' signatures enter the
+    # scoring joins. Candidates cover a small fraction of a web corpus (exact
+    # dups are collapsed upstream), so this keeps the wide shingle arrays of
+    # non-candidate docs out of BOTH join shuffles — at 100 TB that is the
+    # difference between shuffling the corpus twice and shuffling the
+    # candidate slice twice. The id-only semi-join shuffle is cheap.
+    cand_ids = (
+        cand.select(F.col("id1").alias("id"))
+        .union(cand.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    sigs = sigs.join(cand_ids, "id", "left_semi")
 
     a = sigs.select(
         F.col("id").alias("id1"),
