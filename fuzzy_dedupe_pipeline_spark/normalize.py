@@ -35,6 +35,17 @@ def normalize_text_col(c: Column) -> Column:
     removal happens AFTER whitespace collapse, so 'a , b' -> 'a  b' (double
     space) — tokenization must split on whitespace runs, not single spaces.
     Null/empty input -> '' (processor.py:54-55).
+
+    Parity domain (property-tested vs the reference's Python regexes in
+    tests/test_properties.py): byte-identical except for documented
+    JVM-vs-CPython character-class divergences — Java (?U)\\w includes
+    combining marks (Mn/Mc/Me) and excludes non-decimal numbers (No/Nl,
+    e.g. '¼'); CPython \\s includes \\x1c-\\x1f, Unicode White_Space does
+    not. None occur in the reference's input domain.
+
+    NOT string-idempotent (matching the reference): punct removal can leave
+    edge whitespace ('0 :' -> '0 '); token streams ARE stable under
+    re-normalization, which is what shingling consumes.
     """
     # trim AFTER the \s+ collapse: Spark trim strips only ASCII ' ', but the
     # reference's Python .strip() strips ALL whitespace (tab, NBSP, ...);

@@ -29,24 +29,43 @@ def _ref_normalize(s: str | None) -> str:
     return out
 
 
-# combining marks / format chars excluded: Java's (?U)\w and Python's re \w
-# genuinely classify Mn/Mc/Me/Cf differently — a known JVM-vs-CPython regex
-# divergence outside the reference's input domain (Latin business records)
+# combining marks / format chars / non-decimal numbers excluded: Java's
+# (?U)\w and Python's re \w genuinely classify Mn/Mc/Me/Cf and No/Nl (e.g.
+# '¼', 'Ⅷ') differently — known JVM-vs-CPython regex divergences outside the
+# reference's input domain (Latin business records). The filter checks the
+# post-lower() form too: case-mapping can INTRODUCE excluded chars (e.g.
+# 'İ'.lower() == 'i' + combining dot U+0307).
+import unicodedata as _ud
+
+_EXCL_CATS = {"Mn", "Mc", "Me", "Cf", "Co", "Cn", "No", "Nl"}
+
+
+def _parity_domain(s: str) -> bool:
+    # \x1c-\x1f: CPython str/re treat them as whitespace, the Unicode
+    # White_Space property (Java (?U)\s) does not — another cross-runtime
+    # divergence excluded from the parity domain
+    if any("\x1c" <= ch <= "\x1f" for ch in s):
+        return False
+    return all(_ud.category(ch) not in _EXCL_CATS for ch in s + s.lower())
+
+
 TEXTS = st.lists(
     st.one_of(
         st.none(),
         st.text(
             alphabet=st.characters(
-                blacklist_categories=("Mn", "Mc", "Me", "Cf", "Co", "Cn")
+                blacklist_categories=(
+                    "Mn", "Mc", "Me", "Cf", "Co", "Cn", "No", "Nl"
+                )
             ),
             max_size=60,
-        ),
+        ).filter(_parity_domain),
         st.text(
             alphabet=st.characters(
                 whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po", "Sm")
             ),
             max_size=120,
-        ),
+        ).filter(_parity_domain),
         st.text(alphabet=" \t\n\r\x0b\x0c abc_!.", max_size=30),
     ),
     min_size=1,
@@ -84,10 +103,16 @@ def test_normalize_matches_reference_regexes(spark, texts):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=TEXTS)
-def test_normalize_idempotent(spark, texts):
+def test_normalize_token_idempotent(spark, texts):
+    """normalize is idempotent at TOKEN level (what shingling consumes).
+    Plain string idempotence does NOT hold — for the reference either:
+    punct removal can leave edge whitespace ('0 :' -> '0 ') that a second
+    pass would trim. The engine's tokens_raw_col's empty-string filter
+    absorbs exactly that, so token streams are stable under re-normalization
+    (hypothesis found the counterexample; the reference behaves identically)."""
     once = _normalize_batch(spark, texts)
     twice = _normalize_batch(spark, once)
-    assert once == twice
+    assert [o.split() for o in once] == [t.split() for t in twice]
 
 
 def test_cc_label_is_component_min(spark):
