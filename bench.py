@@ -227,7 +227,10 @@ def _write_baseline_md() -> None:
         "configuration, alternating levels across cycles so interference",
         "windows hit both equally, pooling runs across invocations; every",
         "raw run is listed below. Min-of-N is the standard robust estimator",
-        "of machine capability under asymmetric noise.",
+        "of machine capability under asymmetric noise. Round-1 runs pool",
+        "across engine revisions whose changes (input rebalance, verify",
+        "semi-join prefilter) only raised plan efficiency, so minima can",
+        "only UNDERSTATE the final engine.",
         "",
     ]
     for r in pairs:
