@@ -28,6 +28,7 @@ from fuzzy_dedupe_pipeline_spark.dataflow import (
 from fuzzy_dedupe_pipeline_spark.similarity import (
     brute_force_topk,
     cosine_dup_pairs,
+    ivf_topk,
     lsh_ann_topk,
 )
 from fuzzy_dedupe_pipeline_spark.textstats import (
@@ -301,6 +302,12 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, k=5, dim=64)
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -322,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": _q_minhash_dedup,
         "simhash_near_dup": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann,
+        "ivf_ann_topk": _q_ivf_ann,
     }
 
 

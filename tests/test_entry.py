@@ -25,7 +25,12 @@ def test_oracle_keys_subset_of_queries():
     o = set(entrymod.oracle_sql())
     assert o <= q
     # the non-oracle ones are exactly the non-SQL-expressible ops
-    assert q - o == {"minhash_lsh_dedup", "simhash_near_dup", "lsh_ann_topk"}
+    assert q - o == {
+        "minhash_lsh_dedup",
+        "simhash_near_dup",
+        "lsh_ann_topk",
+        "ivf_ann_topk",
+    }
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))

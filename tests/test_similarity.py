@@ -64,3 +64,23 @@ def test_lsh_deterministic(spark):
     a = sorted(map(tuple, lsh_ann_topk(df, q, k=3, dim=DIM).collect()))
     b = sorted(map(tuple, lsh_ann_topk(df, q, k=3, dim=DIM).collect()))
     assert a == b
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from fuzzy_dedupe_pipeline_spark.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4)
+
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.5, recall  # probing half the lists on clustered data
+
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4).collect()}
+    assert got == again
