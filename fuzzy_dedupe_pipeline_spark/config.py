@@ -43,6 +43,13 @@ class DedupeConfig:
     hybrid_secondary_threshold: float = 0.7  # hybrid arm secondary (processor.py:161)
     confidence_cap: float = 0.95          # (processor.py:163,166)
 
+    # --- verification -------------------------------------------------------
+    # semi-join prefilter: only candidate endpoints' signatures enter the
+    # verify scoring joins. Wins when candidates cover a small fraction of
+    # docs (the 100 TB case); adds one id-only shuffle + a stage dependency,
+    # so tiny corpora can disable it.
+    verify_prefilter: bool = True
+
     # --- skew / scale knobs -------------------------------------------------
     max_band_bucket: int = 5000   # cap on rows per (band, hash) bucket; larger buckets
                                   # are dropped from pair-gen and logged to metrics

@@ -57,13 +57,16 @@ def verify_pairs(
     # dups are collapsed upstream), so this keeps the wide shingle arrays of
     # non-candidate docs out of BOTH join shuffles — at 100 TB that is the
     # difference between shuffling the corpus twice and shuffling the
-    # candidate slice twice. The id-only semi-join shuffle is cheap.
-    cand_ids = (
-        cand.select(F.col("id1").alias("id"))
-        .union(cand.select(F.col("id2").alias("id")))
-        .distinct()
-    )
-    sigs = sigs.join(cand_ids, "id", "left_semi")
+    # candidate slice twice. The id-only semi-join shuffle is cheap, but it
+    # adds a stage dependency (sigs' shuffle now waits on candidate
+    # generation), so cfg.verify_prefilter can disable it for small corpora.
+    if cfg.verify_prefilter:
+        cand_ids = (
+            cand.select(F.col("id1").alias("id"))
+            .union(cand.select(F.col("id2").alias("id")))
+            .distinct()
+        )
+        sigs = sigs.join(cand_ids, "id", "left_semi")
 
     a = sigs.select(
         F.col("id").alias("id1"),
