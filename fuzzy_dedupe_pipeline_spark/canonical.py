@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 def cluster_output(
     members: DataFrame,  # (id, cluster_id)
     edges: DataFrame,    # verified pairs: (id1, id2, confidence, ...)
-    pages: DataFrame,    # (id, text_final, ...) for completeness ordering
+    pages: DataFrame,    # (id, text_final) OR (id, text_len) for completeness ordering
 ) -> DataFrame:
     """clusters(url, cluster_id, confidence_score, duplicate_count,
     is_representative) — FIXTURES.md F5 shape."""
@@ -34,10 +34,15 @@ def cluster_output(
         F.max("confidence").alias("edge_conf")
     )
 
+    lens = (
+        pages.select("id", "text_len")
+        if "text_len" in pages.columns
+        else pages.select("id", F.length("text_final").alias("text_len"))
+    )
     enriched = (
         members.join(sizes, "cluster_id")
         .join(member_conf, "id", "left")
-        .join(pages.select("id", F.length("text_final").alias("text_len")), "id", "left")
+        .join(lens, "id", "left")
         .select(
             "id",
             "cluster_id",

@@ -1,20 +1,33 @@
 """Connected components over the verified-pair edge set.
 
 Replaces the reference's in-memory BFS (dedupe_logic/processor.py:206-228)
-with iterative min-label propagation in pure DataFrame joins:
+with iterative min-label propagation *plus pointer jumping* in pure DataFrame
+joins:
 
-  label(v) <- min(label(v), min over neighbors u of label(u))
+  propagate:  label(v) <- min(label(v), min over neighbors u of label(u))
+  jump:       label(v) <- label(label(v))
 
-repeated to convergence. Each iteration is one equi-join + one groupBy-min —
-both map-side-combinable shuffles Catalyst plans with AQE. `localCheckpoint`
-after every iteration truncates the lineage so plan size stays constant.
-Iterations ~ component diameter; dedup components are star/clique shaped
-(exact-dup stars + dense near-dup cliques), so convergence is fast. The label
-space is the id itself (min id wins), matching the deterministic cluster_id
-definition used by the oracle.
+repeated to convergence. Propagation alone needs O(component diameter)
+rounds; the jump step composes the label pointers (label(v) is always a node
+in v's component with a <= label, so following it never crosses components
+and never increases), giving O(log diameter) rounds — a 10^6-node chain
+converges in ~20 rounds instead of 10^6. Each round is two equi-joins + one
+groupBy-min — all map-side-combinable shuffles Catalyst plans with AQE.
+`localCheckpoint` after every round truncates the lineage so plan size stays
+constant. The label space is the id itself (min id wins), matching the
+deterministic cluster_id definition used by the oracle.
+
+Non-convergence is LOUD: if the label fixpoint is not reached within
+max_iters rounds the function raises instead of silently emitting wrong
+labels (a capped run would split clusters with no error signal otherwise).
 
 Driver-side loop is unavoidable (Catalyst has no fixpoint operator); per-round
 work is fully distributed — only the convergence *count* comes to the driver.
+
+Cluster note: localCheckpoint blocks live in executor memory/disk and are
+lost on executor death; on a real multi-executor cluster set a reliable
+checkpoint dir (sc.setCheckpointDir on HDFS/S3) and swap localCheckpoint for
+checkpoint, trading recovery for one distributed write per round.
 """
 
 from __future__ import annotations
@@ -29,6 +42,11 @@ def connected_components(
     """edges: (id1, id2) undirected (any orientation). Returns
     (id, cluster_id) for every id that appears in an edge; cluster_id = min id
     of its component. Callers attach singletons via left join + coalesce.
+
+    Raises RuntimeError if labels have not converged after max_iters rounds
+    (each round shrinks the worst unconverged chain by >2x, so the default 50
+    covers any component with diameter < 2^50 — hitting the cap means
+    something is broken, and silent wrong labels are never acceptable).
     """
     sym = edges.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
@@ -46,22 +64,49 @@ def connected_components(
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .select(F.col("src").alias("id"), "cluster_id")
-            .union(labels)
+            .union(labels.select("id", "cluster_id"))
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
-        new_labels = neighbor_min.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+        # pointer jump: label <- label(label). Every label value is itself a
+        # node id with a labels row, and its label is <= (min-monotone), so
+        # this squares the pointer chain without changing the fixpoint.
+        parent = neighbor_min.select(
+            F.col("id").alias("p_id"), F.col("cluster_id").alias("p_label")
         )
-        labels = new_labels
+        jumped = neighbor_min.join(
+            parent, neighbor_min.cluster_id == parent.p_id, "left"
+        ).select(
+            "id", F.coalesce("p_label", "cluster_id").alias("cluster_id")
+        )
+        # fuse the convergence signal into the SAME checkpoint job (one extra
+        # join against the already-checkpointed old labels) — a separate
+        # count-join job per round doubled the driver-serial job count, the
+        # dominant non-scaling cost in the flagship profile
+        new_labels = (
+            jumped.join(
+                labels.select("id", F.col("cluster_id").alias("old_label")),
+                "id",
+            )
+            .select(
+                "id",
+                "cluster_id",
+                (F.col("cluster_id") != F.col("old_label")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        # scanning checkpointed blocks for the first changed row is a trivial
+        # job (no shuffle, early exit)
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.select("id", "cluster_id")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iters} rounds — "
+        "labels would be WRONG (clusters split). Raise max_iters / "
+        "cfg.cc_max_iters; with pointer jumping rounds grow as "
+        "log2(component diameter), so this signals pathological input."
+    )
 
 
 def attach_singletons(all_ids: DataFrame, labels: DataFrame) -> DataFrame:

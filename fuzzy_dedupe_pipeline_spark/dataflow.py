@@ -9,7 +9,7 @@ diverge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fuzzy_dedupe_pipeline_spark.canonical import cluster_output
@@ -33,12 +33,24 @@ def clean_docs(
     )
 
 
+def with_exact_rep(clean: DataFrame) -> DataFrame:
+    """clean + (tkey, rep): rep = min id among identical normalized text.
+
+    ONE shuffle (window min over the sha256 key) yields both the exact-dup
+    star edges (rows where id != rep) and the representative set (id == rep).
+    The previous groupBy+join+anti-join shape cost three narrow shuffles and,
+    at web scale, the rep side is ~corpus-sized so none of them broadcast.
+    """
+    w = Window.partitionBy("tkey")
+    return clean.withColumn(
+        "tkey", F.sha2(F.col("text_norm"), 256)
+    ).withColumn("rep", F.min("id").over(w))
+
+
 def exact_edges_df(clean: DataFrame) -> DataFrame:
     """Star edges rep->member over identical normalized text (exact dedup)."""
-    keyed = clean.select("id", F.sha2(F.col("text_norm"), 256).alias("tkey"))
-    reps = keyed.groupBy("tkey").agg(F.min("id").alias("rep"))
     return (
-        keyed.join(reps, "tkey")
+        with_exact_rep(clean)
         .filter(F.col("id") != F.col("rep"))
         .select(
             F.col("rep").alias("id1"),
@@ -50,24 +62,32 @@ def exact_edges_df(clean: DataFrame) -> DataFrame:
 
 
 def dedupe_edges(
-    clean_reps: DataFrame, cfg: DedupeConfig, with_substring: bool = True
+    clean_reps: DataFrame,
+    cfg: DedupeConfig,
+    with_substring: bool = True,
+    persists: list | None = None,
 ) -> DataFrame:
-    """Verified near-dup edges among exact-representatives."""
+    """Verified near-dup edges among exact-representatives.
+
+    persists: caller-owned registry of persisted frames; the caller unpersists
+    them once the result is materialized (see dedupe_clusters)."""
     sigs = with_signatures(
         clean_reps.select(F.col("id").alias("url"), "text_norm"),
         cfg,
         id_col="url",
         text_col="text_norm",
     ).persist()
-    lsh_pairs, _ = candidate_pairs(sigs, cfg)
+    if persists is not None:
+        persists.append(sigs)
+    lsh_pairs, _ = candidate_pairs(sigs, cfg, persists=persists)
     if with_substring:
         toks = clean_reps.select(
             "id", tokens_raw_col(F.col("text_norm")).alias("tokens")
         )
-        sub_pairs, _ = substring_candidates(toks, cfg)
+        sub_pairs, _ = substring_candidates(toks, cfg, persists=persists)
     else:
         sub_pairs = lsh_pairs.limit(0)
-    return verify_pairs(lsh_pairs, sub_pairs, sigs, cfg)
+    return verify_pairs(lsh_pairs, sub_pairs, sigs, cfg, persists=persists)
 
 
 def dedupe_clusters(
@@ -91,23 +111,57 @@ def dedupe_clusters(
     One cheap shuffle of the text buys guaranteed balance; disable it only
     when the input is known well-partitioned (e.g. a bucketed Iceberg table).
     """
+    persists: list[DataFrame] = []
     clean = clean_docs(docs, id_col, text_col)
     if rebalance_input:
         clean = clean.repartition(spark.sparkContext.defaultParallelism)
-    clean = clean.persist()
-    exact = exact_edges_df(clean).persist()
-    reps = clean.join(
-        exact.select(F.col("id2").alias("id")), "id", "left_anti"
+    # one window shuffle yields exact edges AND the rep set (see with_exact_rep)
+    keyed = with_exact_rep(clean).persist()
+    persists.append(keyed)
+    exact = keyed.filter(F.col("id") != F.col("rep")).select(
+        F.col("rep").alias("id1"),
+        F.col("id").alias("id2"),
+        F.lit(1.0).alias("confidence"),
+        F.lit("exact").alias("match_type"),
     )
-    near = dedupe_edges(reps, cfg, with_substring=with_substring).persist()
+    reps = keyed.filter(F.col("id") == F.col("rep")).select("id", "text_norm")
+    # eager checkpoint: materializes the whole signature->LSH->verify chain
+    # now; every later consumer reads the (small) edge table, so the heavy
+    # persisted intermediates can be released below
+    near = dedupe_edges(
+        reps, cfg, with_substring=with_substring, persists=persists
+    ).localCheckpoint()
+    exact = exact.localCheckpoint()
+    # narrow projection for singleton attach + representative ordering
+    ids_text = keyed.select(
+        "id", "rep", F.length("text_final").alias("text_len")
+    ).localCheckpoint()
+    # CC runs over NEAR edges only — all near endpoints are exact-reps, and
+    # the rep of an exact group is its min id, so min-over-reps == min over
+    # the full component: exact members inherit their rep's label by one join
+    # instead of inflating the CC edge set with O(corpus) star edges
+    labels = connected_components(
+        near.select("id1", "id2"), max_iters=cfg.cc_max_iters
+    )
+    # release every cached intermediate: all consumers below read checkpoints
+    for df in persists:
+        df.unpersist()
+    rep_labels = attach_singletons(
+        ids_text.filter(F.col("id") == F.col("rep")).select("id"), labels
+    )
+    member_labels = (
+        ids_text.filter(F.col("id") != F.col("rep"))
+        .select("id", "rep")
+        .join(
+            rep_labels.select(F.col("id").alias("rep"), "cluster_id"), "rep"
+        )
+        .select("id", "cluster_id")
+    )
+    members = rep_labels.union(member_labels)
     all_edges = near.select("id1", "id2", "confidence").union(
         exact.select("id1", "id2", "confidence")
     )
-    labels = connected_components(
-        all_edges.select("id1", "id2"), max_iters=cfg.cc_max_iters
-    )
-    members = attach_singletons(clean.select("id"), labels)
-    return cluster_output(members, all_edges, clean.select("id", "text_final"))
+    return cluster_output(members, all_edges, ids_text.select("id", "text_len"))
 
 
 def simhash_near_dup_pairs(

@@ -38,17 +38,23 @@ def band_table(sigs: DataFrame, cfg: DedupeConfig) -> DataFrame:
 
 
 def candidate_pairs(
-    sigs: DataFrame, cfg: DedupeConfig
+    sigs: DataFrame, cfg: DedupeConfig, persists: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """LSH candidates: (id1, id2) with id1 < id2, distinct across bands.
 
     Returns (pairs, dropped_buckets) where dropped_buckets is
     (band_id, band_hash, bucket_size) for every bucket excluded by the skew
     cap — the caller persists it to the metrics/lineage table.
+
+    persists: caller-owned registry — every frame this function persists is
+    appended so the caller can unpersist once results are materialized
+    (long-lived sessions: streaming micro-batches, repeated bench runs).
     """
     # bands feeds three plan branches (bucket sizes, both self-join sides);
     # persist so the signature chain upstream isn't re-executed per branch
     bands = band_table(sigs, cfg).persist()
+    if persists is not None:
+        persists.append(bands)
     sizes = bands.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_size")
     )

@@ -41,7 +41,10 @@ def normalize_text_col(c: Column) -> Column:
     JVM-vs-CPython character-class divergences — Java (?U)\\w includes
     combining marks (Mn/Mc/Me) and excludes non-decimal numbers (No/Nl,
     e.g. '¼'); CPython \\s includes \\x1c-\\x1f, Unicode White_Space does
-    not. None occur in the reference's input domain.
+    not; and Unicode-VERSION skew: CPython 3.11 carries Unicode 14 tables,
+    JVM 17 carries Unicode 13, so code points assigned between the two
+    (e.g. U+1DF00, a Unicode-14 letter) are \\w to one runtime and
+    unassigned to the other. None occur in the reference's input domain.
 
     NOT string-idempotent (matching the reference): punct removal can leave
     edge whitespace ('0 :' -> '0 '); token streams ARE stable under
@@ -111,6 +114,30 @@ def extract_state_col(addr: Column) -> Column:
     last = F.trim(F.try_element_at(parts, F.lit(-1)))
     st = F.regexp_extract(last, r"\b([A-Z]{2})\b", 1)
     return F.when(F.size(parts) >= 3, st).otherwise(F.lit(""))
+
+
+def semantic_text_col(name: Column, category: Column) -> Column:
+    """P4 feature concat (semantic): f"{name} {category}".strip() with
+    'unknown' fallback when empty (dedupe_logic/processor.py:70-75).
+    NULL inputs are treated as '' (the reference's record.get defaults;
+    literal None values are scrubbed upstream by clean_sentinels)."""
+    base = F.trim(
+        F.concat_ws(
+            " ",
+            F.coalesce(name.cast("string"), F.lit("")),
+            F.coalesce(category.cast("string"), F.lit("")),
+        )
+    )
+    return F.when(base == "", F.lit("unknown")).otherwise(base)
+
+
+def address_text_col(*parts: Column) -> Column:
+    """P5 feature concat (address): ' '.join(filter(None, parts)) with
+    'unknown' fallback (dedupe_logic/processor.py:77-86) — empty/NULL parts
+    are dropped entirely, so no doubled separators."""
+    arr = F.array(*[F.coalesce(p.cast("string"), F.lit("")) for p in parts])
+    joined = F.array_join(F.filter(arr, lambda x: x != ""), " ")
+    return F.when(joined == "", F.lit("unknown")).otherwise(joined)
 
 
 def final_sentinel_scrub(c: Column) -> Column:
@@ -205,8 +232,14 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 def ingest_pages(pages: DataFrame) -> DataFrame:
     """Ingest stage: extract text from html (falling back to the provided text
     column when html yields nothing) and normalize. Output adds
-    `text_extracted` and `text_norm`."""
-    out = pages.withColumn("text_extracted", extract_text_udf(F.col("html")))
+    `text_extracted` and `text_norm`. Text-only tables (no `html` column)
+    skip the extraction UDF."""
+    if "html" in pages.columns:
+        out = pages.withColumn("text_extracted", extract_text_udf(F.col("html")))
+    else:
+        out = pages.withColumn(
+            "text_extracted", F.lit(None).cast("string")
+        )
     out = out.withColumn(
         "text_final", F.coalesce(F.col("text_extracted"), F.col("text"))
     )

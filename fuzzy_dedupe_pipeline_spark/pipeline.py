@@ -69,6 +69,7 @@ class DedupePipeline:
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.metrics = MetricsLog(spark, self.out_dir, self.run_id)
         self.recomputed: list[str] = []
+        self._persists: list[DataFrame] = []  # released after each stage write
 
     # -- stage plumbing ------------------------------------------------------
 
@@ -97,6 +98,11 @@ class DedupePipeline:
         except Exception as e:  # noqa: BLE001 — metrics row then re-raise
             self.metrics.log_stage(stage, "failed", timer.start, error=str(e)[:2000])
             raise
+        finally:
+            # stage output is on disk — release every frame the stage cached
+            for cached in self._persists:
+                cached.unpersist()
+            self._persists.clear()
 
     # -- stages ---------------------------------------------------------------
 
@@ -108,10 +114,11 @@ class DedupePipeline:
         # stages serialized onto one core); the stage write then produces
         # defaultParallelism splittable files for every downstream stage
         par = self.spark.sparkContext.defaultParallelism
+        meta_cols = [c for c in ("warc_ts", "lang") if c in pages.columns]
         pages_clean = self._run_stage(
             "00_pages_clean",
             lambda: ingest_pages(pages)
-            .select("url", "warc_ts", "lang", "text_final", "text_norm")
+            .select("url", *meta_cols, "text_final", "text_norm")
             .repartition(par),
         )
 
@@ -149,7 +156,8 @@ class DedupePipeline:
         lsh_pairs = self._run_stage(
             "03_lsh_pairs",
             lambda: self._log_dropped(
-                "03_lsh_pairs", *candidate_pairs(sigs, cfg)
+                "03_lsh_pairs",
+                *candidate_pairs(sigs, cfg, persists=self._persists),
             ),
         )
 
@@ -160,24 +168,39 @@ class DedupePipeline:
                 F.col("url").alias("id"),
                 tokens_raw_col(F.col("text_norm")).alias("tokens"),
             )
-            pairs, dropped = substring_candidates(reps_tok, cfg)
+            pairs, dropped = substring_candidates(
+                reps_tok, cfg, persists=self._persists
+            )
             return self._log_dropped("04_sub_pairs", pairs, dropped)
 
         sub_pairs = self._run_stage("04_sub_pairs", build_sub)
 
         edges = self._run_stage(
             "05_edges",
-            lambda: verify_pairs(lsh_pairs, sub_pairs, sigs, cfg),
+            lambda: verify_pairs(
+                lsh_pairs, sub_pairs, sigs, cfg, persists=self._persists
+            ),
         )
 
         def build_members() -> DataFrame:
-            all_edges = edges.select("id1", "id2").union(
-                exact_edges.select("id1", "id2")
+            # CC over near edges only; exact members inherit their rep's
+            # label (rep == min id of its exact group, so min-over-reps is
+            # the component min — see dataflow.dedupe_clusters)
+            labels = connected_components(
+                edges.select("id1", "id2"), max_iters=cfg.cc_max_iters
             )
-            labels = connected_components(all_edges, max_iters=cfg.cc_max_iters)
-            return attach_singletons(
-                pages_clean.select(F.col("url").alias("id")), labels
+            exact_members = exact_edges.select(
+                F.col("id2").alias("id"), F.col("id1").alias("rep")
             )
+            rep_ids = pages_clean.select(F.col("url").alias("id")).join(
+                exact_members.select("id"), "id", "left_anti"
+            )
+            rep_labels = attach_singletons(rep_ids, labels)
+            member_labels = exact_members.join(
+                rep_labels.select(F.col("id").alias("rep"), "cluster_id"),
+                "rep",
+            ).select("id", "cluster_id")
+            return rep_labels.union(member_labels)
 
         members = self._run_stage("06_members", build_members)
 

@@ -16,31 +16,35 @@ is the wrong primitive.
 State layout under state_dir (parquet; Iceberg-table analog — at production
 scale these are Iceberg tables bucketed by band_hash and the label rewrite is
 a MERGE INTO):
-  sigs/    append-only (id, n_tokens, shingles, minhash, simhash)
-  bands/   append-only (id, band_id, band_hash) — the LSH index
-  labels/  (id, cluster_id) — rewritten per batch (small; one row per doc)
-
-Per batch:
-  1. sign batch docs (Arrow UDF, same cfg)
-  2. candidates = intra-batch LSH pairs  UNION  batch-bands x store-bands
-     equi-join (batch side broadcast — micro-batches are small by definition)
-  3. verify exactly as batch path (Jaccard + SimHash cascade)
-  4. labels: old endpoints are first rewritten to their existing cluster_id,
-     then min-label connected components run over the (tiny) batch subgraph —
-     so a new doc bridging two existing clusters merges them (their labels
-     rewrite in the store), preserving the batch pipeline's global invariant:
-     cluster_id == min id of the connected component.
-  5. append sigs+bands, overwrite labels, emit (id, cluster_id, batch_id)
+  sigs/batch_id=N/   per-batch partition (id, n_tokens, shingles, minhash, simhash)
+  bands/batch_id=N/  per-batch partition (id, band_id, band_hash) — the LSH index
+  labels/bucket=B/   (id, cluster_id) hash-bucketed by id; only buckets touched
+                     by a batch are rewritten (dynamic partition overwrite —
+                     the MERGE INTO analog), so label-commit cost is
+                     O(touched clusters), not O(all docs ever seen)
+  commits/batch_N    high-watermark marker, written LAST
 
 Exactly-once: the file-source checkpoint gives at-least-once foreachBatch
-execution; state appends are idempotent per batch only if the job isn't
-killed mid-write — production hardening is Iceberg atomic commits keyed by
-batch_id (noted, not emulated in the sandbox).
+execution; this module makes replays IDEMPOTENT rather than assuming
+exactly-once:
+  * a replayed batch whose commit marker exists is a pure no-op on state —
+    its output rows are re-emitted by reading the stored labels
+  * sigs/bands writes go to a batch_id=N partition with overwrite, so a
+    crash-then-replay rewrites the same partition instead of appending dupes
+  * label buckets are rewritten from (stored labels + batch), a computation
+    that converges under replay even if a crash left some buckets new and
+    some old
+Re-seen ids (a re-crawled URL in a later dump) are dropped before signing —
+first-seen text wins (documented policy; emit-latest would need a tombstone
+pass over sigs, an Iceberg MERGE at production scale). Within a batch,
+duplicate ids are collapsed to one arbitrary-but-deterministic row first.
+
+All state probes go through the Hadoop FileSystem API, not os.path — the
+state dir may be HDFS/S3 in production, where driver-local os.path.exists
+would silently report "no state" and the store would be clobbered.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +56,8 @@ from fuzzy_dedupe_pipeline_spark.lsh import band_table, candidate_pairs
 from fuzzy_dedupe_pipeline_spark.minhash import with_signatures
 from fuzzy_dedupe_pipeline_spark.verify import verify_pairs
 
+N_LABEL_BUCKETS = 64
+
 
 class IncrementalDedupe:
     """Join-against-history incremental near-dup clustering."""
@@ -61,6 +67,7 @@ class IncrementalDedupe:
         spark: SparkSession,
         state_dir: str,
         cfg: DedupeConfig = DEFAULT_CONFIG,
+        n_label_buckets: int = N_LABEL_BUCKETS,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -68,9 +75,40 @@ class IncrementalDedupe:
         self.sigs_path = f"{self.state_dir}/sigs"
         self.bands_path = f"{self.state_dir}/bands"
         self.labels_path = f"{self.state_dir}/labels"
+        self.commits_path = f"{self.state_dir}/commits"
+        self.n_label_buckets = n_label_buckets
 
-    def _have_state(self) -> bool:
-        return os.path.exists(f"{self.labels_path}/_SUCCESS")
+    # -- Hadoop-FS state probes (work on HDFS/S3, not just local disk) --------
+
+    def _fs(self, spark: SparkSession, path_str: str):
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    def _exists(self, spark: SparkSession, path_str: str) -> bool:
+        fs, hpath = self._fs(spark, path_str)
+        return bool(fs.exists(hpath))
+
+    def _touch(self, spark: SparkSession, path_str: str) -> None:
+        fs, hpath = self._fs(spark, path_str)
+        fs.create(hpath, True).close()
+
+    def _have_state(self, spark: SparkSession) -> bool:
+        """Any batch fully committed? Our own commit markers are the signal —
+        a dynamic-partition-overwrite write does NOT refresh a root _SUCCESS
+        file, and a half-written labels dir (crash mid-write) must not count
+        as state either."""
+        fs, hpath = self._fs(spark, self.commits_path)
+        if not fs.exists(hpath):
+            return False
+        return len(fs.listStatus(hpath)) > 0
+
+    def _committed(self, spark: SparkSession, batch_id: int) -> bool:
+        return self._exists(spark, f"{self.commits_path}/batch_{batch_id}")
+
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_label_buckets)).cast("int")
 
     # -- one micro-batch -----------------------------------------------------
 
@@ -83,13 +121,62 @@ class IncrementalDedupe:
     ) -> DataFrame:
         """Returns (id, cluster_id, batch_id) for the batch docs and commits
         state. Runs on the batch DataFrame's own session (foreachBatch-safe).
+        Idempotent under at-least-once replay (see module docstring).
         """
         spark = batch_df.sparkSession
         cfg = self.cfg
 
-        clean = clean_docs(batch_df, id_col, text_col)
+        # intra-batch id collapse must be DETERMINISTIC (dropDuplicates keeps
+        # an arbitrary row, which would break replay idempotence): min text
+        # wins
+        from pyspark.sql import Window
+
+        w_id = Window.partitionBy("id").orderBy("text_norm", "text_final")
+        clean = (
+            clean_docs(batch_df, id_col, text_col)
+            .withColumn("_rn", F.row_number().over(w_id))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        if self._committed(spark, batch_id):
+            # replayed batch: state already reflects it — re-emit output from
+            # the stored labels, touch nothing
+            labels = spark.read.parquet(self.labels_path)
+            return (
+                clean.select("id")
+                .join(labels.select("id", "cluster_id"), "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("cluster_id", "id").alias("cluster_id"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                )
+            )
+
+        persists: list[DataFrame] = []
+        have_state = self._have_state(spark)
+        if have_state:
+            labels_old = spark.read.parquet(self.labels_path).select(
+                "id", "cluster_id"
+            )
+            # exclude THIS batch's partition: a crash after the sigs write
+            # but before the commit marker must not make the replay see its
+            # own half-committed rows as "already seen" (partition-pruned
+            # filter — only older batch dirs are scanned)
+            prior_sigs = spark.read.parquet(self.sigs_path).filter(
+                F.col("batch_id") != batch_id
+            )
+            seen_ids = prior_sigs.select("id")
+            # first-seen wins: a re-crawled url must not re-enter the index
+            # (duplicate sig rows would self-pair in the bands join and emit
+            # conflicting label rows)
+            fresh = clean.join(seen_ids, "id", "left_anti")
+        else:
+            labels_old = None
+            fresh = clean
+
         sigs_new = with_signatures(
-            clean.select(F.col("id").alias("url"), "text_norm"),
+            fresh.select(F.col("id").alias("url"), "text_norm"),
             cfg,
             id_col="url",
             text_col="text_norm",
@@ -97,12 +184,13 @@ class IncrementalDedupe:
         nonempty = sigs_new.filter(F.size("shingles") > 0)
         bands_new = band_table(nonempty, cfg).localCheckpoint()
 
-        intra, _dropped = candidate_pairs(nonempty, cfg)
+        intra, _dropped = candidate_pairs(nonempty, cfg, persists=persists)
 
-        if self._have_state():
-            sigs_old = spark.read.parquet(self.sigs_path)
-            bands_old = spark.read.parquet(self.bands_path)
-            labels_old = spark.read.parquet(self.labels_path)
+        if have_state:
+            bands_old = spark.read.parquet(self.bands_path).filter(
+                F.col("batch_id") != batch_id
+            )
+            sigs_old = prior_sigs
             # store-side index is the big side; broadcast the micro-batch bands
             cross = (
                 bands_old.join(
@@ -120,15 +208,13 @@ class IncrementalDedupe:
                 .dropDuplicates(["id1", "id2"])
             )
             candidates = intra.union(cross).dropDuplicates(["id1", "id2"])
-            sigs_all = sigs_old.unionByName(sigs_new)
+            sigs_all = sigs_old.drop("batch_id").unionByName(sigs_new)
         else:
-            sigs_old = None
-            labels_old = None
             candidates = intra
             sigs_all = sigs_new
 
         edges = verify_pairs(
-            candidates, candidates.limit(0), sigs_all, cfg
+            candidates, candidates.limit(0), sigs_all, cfg, persists=persists
         ).select("id1", "id2")
 
         # rewrite old endpoints to their existing cluster label so min-label
@@ -168,27 +254,63 @@ class IncrementalDedupe:
                     F.col("cluster_id").alias("new_cluster"),
                 )
             )
-            labels_updated = (
-                labels_old.join(
-                    remap,
-                    labels_old.cluster_id == remap.old_cluster,
-                    "left",
+            old_b = labels_old.withColumn("bucket", self._bucket(F.col("id")))
+            updated = (
+                old_b.join(
+                    remap, old_b.cluster_id == remap.old_cluster, "left"
                 )
                 .select(
                     "id",
                     F.coalesce("new_cluster", "cluster_id").alias("cluster_id"),
+                    "bucket",
+                    F.col("new_cluster").isNotNull().alias("changed"),
                 )
             )
-            labels_full = labels_updated.unionByName(assign)
+            new_b = assign.withColumn("bucket", self._bucket(F.col("id")))
+            # MERGE-INTO analog: rewrite ONLY buckets containing a changed or
+            # new row. Rows to write = full contents of touched buckets (a
+            # dynamic partition overwrite replaces whole partitions).
+            touched = (
+                updated.filter("changed")
+                .select("bucket")
+                .union(new_b.select("bucket"))
+                .distinct()
+            )
+            to_write = (
+                updated.join(touched, "bucket", "left_semi")
+                .select("id", "cluster_id", "bucket")
+                .unionByName(new_b.select("id", "cluster_id", "bucket"))
+                .localCheckpoint()
+            )
         else:
-            labels_full = assign
+            to_write = (
+                assign.withColumn("bucket", self._bucket(F.col("id")))
+                .localCheckpoint()
+            )
 
-        # commit state: sigs/bands append, labels overwrite (materialize
-        # first — can't overwrite a path while a plan still reads it)
-        labels_full = labels_full.localCheckpoint()
-        sigs_new.write.mode("append").parquet(self.sigs_path)
-        bands_new.write.mode("append").parquet(self.bands_path)
-        labels_full.write.mode("overwrite").parquet(self.labels_path)
+        # commit order: index partitions first (idempotent per-batch
+        # overwrite), labels buckets next, watermark marker LAST
+        sigs_new.write.mode("overwrite").parquet(
+            f"{self.sigs_path}/batch_id={batch_id}"
+        )
+        bands_new.write.mode("overwrite").parquet(
+            f"{self.bands_path}/batch_id={batch_id}"
+        )
+        with_dyn = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            to_write.write.mode("overwrite").partitionBy("bucket").parquet(
+                self.labels_path
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", with_dyn
+            )
+        self._touch(spark, f"{self.commits_path}/batch_{batch_id}")
+        for df in persists:
+            df.unpersist()
 
         return assign.select(
             "id", "cluster_id", F.lit(batch_id).cast("long").alias("batch_id")

@@ -67,12 +67,17 @@ def make_winnow_udf(cfg: DedupeConfig):
 
 
 def substring_candidates(
-    pages: DataFrame, cfg: DedupeConfig, id_col: str = "id", tokens_col_name: str = "tokens"
+    pages: DataFrame,
+    cfg: DedupeConfig,
+    id_col: str = "id",
+    tokens_col_name: str = "tokens",
+    persists: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs sharing >=1 winnowed fingerprint.
 
     Input needs (id, tokens array<string>). Same equi-join + hot-bucket-cap
     shape as the LSH stage. Returns (pairs(id1,id2), dropped_fingerprints).
+    persists: caller-owned registry of persisted frames (see lsh.candidate_pairs).
     """
     winnow_udf = make_winnow_udf(cfg)
     fps = (
@@ -87,6 +92,8 @@ def substring_candidates(
         # without persist the tokenize+winnow UDF chain re-executes per branch
         .persist()
     )
+    if persists is not None:
+        persists.append(fps)
     sizes = fps.groupBy("fp").agg(F.count("*").alias("bucket_size"))
     dropped = sizes.filter(F.col("bucket_size") > cfg.max_band_bucket)
     ok = fps.join(F.broadcast(dropped.select("fp")), ["fp"], "left_anti")

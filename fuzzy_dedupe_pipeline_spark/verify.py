@@ -34,23 +34,29 @@ def verify_pairs(
     substring_pairs: DataFrame,
     sigs: DataFrame,
     cfg: DedupeConfig,
+    persists: list | None = None,
 ) -> DataFrame:
     """Verified edges: (id1, id2, jaccard, simhash_sim, containment,
     substring_match, match_type, confidence).
 
     candidates / substring_pairs: (id1, id2) with id1 < id2.
     sigs: (id, shingles, simhash).
+    persists: caller-owned registry of persisted frames (see lsh.candidate_pairs).
     """
     cand = (
-        candidates.withColumn("from_lsh", F.lit(True))
-        .join(
+        candidates.join(
             substring_pairs.withColumn("substring_match", F.lit(True)),
             ["id1", "id2"],
             "full_outer",
         )
-        .fillna({"from_lsh": False, "substring_match": False})
-        .persist()  # feeds the id prefilter AND the scoring join
+        .fillna({"substring_match": False})
     )
+    if cfg.verify_prefilter:
+        # two consumers (id prefilter + scoring join) only in prefilter mode;
+        # without it a persist would be pure cache overhead
+        cand = cand.persist()
+        if persists is not None:
+            persists.append(cand)
 
     # semi-join prefilter: only candidate endpoints' signatures enter the
     # scoring joins. Candidates cover a small fraction of a web corpus (exact

@@ -64,6 +64,31 @@ def test_long_path_converges(spark):
     _run(spark, 40, [(i, i + 1) for i in range(39)])
 
 
+def test_long_path_log_rounds(spark):
+    # pointer jumping: a 200-node path must converge in O(log2(200)) ~ 8-9
+    # rounds, far below 14 — plain propagation would need ~200
+    edf = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(199)],
+        "id1 string, id2 string",
+    )
+    labels = connected_components(edf, max_iters=14)
+    got = {r.id: r.cluster_id for r in labels.collect()}
+    assert set(got.values()) == {"n000"}
+    assert len(got) == 200
+
+
+def test_nonconvergence_raises(spark):
+    # a capped run must FAIL LOUDLY, never emit split clusters silently
+    import pytest
+
+    edf = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(199)],
+        "id1 string, id2 string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edf, max_iters=2)
+
+
 def test_random_graph(spark):
     rng = np.random.default_rng(7)
     n = 1000

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from fuzzy_dedupe_pipeline_spark import oracle
 from fuzzy_dedupe_pipeline_spark.normalize import (
+    address_text_col,
     canonical_field_mapping,
     clean_sentinels,
     extract_city_col,
@@ -17,6 +18,7 @@ from fuzzy_dedupe_pipeline_spark.normalize import (
     extract_zip_col,
     normalize_phone_col,
     normalize_text_col,
+    semantic_text_col,
 )
 
 TRICKY = [
@@ -98,6 +100,40 @@ def test_canonical_field_mapping(spark):
     assert (r2.city, r2.state, r2.zip) == ("", "", "")  # sentinels scrubbed
     assert r2.phone == "p2"  # coalesce priority phone_number||phone
     assert r2.website == "http://fallback"  # open_website||website||url
+
+
+def test_feature_concat_parity(spark):
+    """P4/P5 literal ops vs the reference's Python expressions
+    (dedupe_logic/processor.py:70-86)."""
+    rows = [
+        ("Joe's Pizza", "restaurant", "1 Main St", "Springfield", "IL", "62701"),
+        ("", "", "", "", "", ""),
+        ("OnlyName", None, None, None, None, None),
+        (None, "cat only", "", "Town", "", "00001"),
+        ("  spaced  ", "x", "a", None, "b", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, category string, address string, city string, "
+        "state string, zip string"
+    )
+    got = df.select(
+        semantic_text_col(F.col("name"), F.col("category")).alias("sem"),
+        address_text_col(
+            F.col("address"), F.col("city"), F.col("state"), F.col("zip")
+        ).alias("addr"),
+    ).collect()
+
+    def ref_sem(name, category):
+        s = f"{name or ''} {category or ''}".strip()
+        return s if s else "unknown"
+
+    def ref_addr(*parts):
+        s = " ".join(filter(None, (str(p) if p else "" for p in parts)))
+        return s if s else "unknown"
+
+    for row, r in zip(rows, got):
+        assert r["sem"] == ref_sem(row[0], row[1]), row
+        assert r["addr"] == ref_addr(*row[2:]), row
 
 
 def test_html_extraction_byte_identical(spark, pages_df, corpus):

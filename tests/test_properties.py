@@ -40,13 +40,30 @@ import unicodedata as _ud
 _EXCL_CATS = {"Mn", "Mc", "Me", "Cf", "Co", "Cn", "No", "Nl"}
 
 
+def _stable_char(ch: str) -> bool:
+    """Code point classified identically by both runtimes' Unicode tables.
+
+    CPython 3.11 ships Unicode 14, JVM 17 ships Unicode 13 — a letter added
+    in 14 (hypothesis found U+1DF00) is \\w to Python re but unassigned (not
+    \\w) to Java (?U). There is no per-version table in the stdlib, but
+    `unicodedata.ucd_3_2_0` IS shipped (for IDNA): requiring assignment in
+    Unicode 3.2 guarantees both runtimes know the char, and category
+    stability policy keeps its \\w/\\s class from migrating between the
+    excluded and included sets afterwards (we check BOTH databases against
+    the exclusion list to be safe, e.g. U+180E Zs->Cf in 6.3)."""
+    return (
+        _ud.category(ch) not in _EXCL_CATS
+        and _ud.ucd_3_2_0.category(ch) not in _EXCL_CATS
+    )
+
+
 def _parity_domain(s: str) -> bool:
     # \x1c-\x1f: CPython str/re treat them as whitespace, the Unicode
     # White_Space property (Java (?U)\s) does not — another cross-runtime
     # divergence excluded from the parity domain
     if any("\x1c" <= ch <= "\x1f" for ch in s):
         return False
-    return all(_ud.category(ch) not in _EXCL_CATS for ch in s + s.lower())
+    return all(_stable_char(ch) for ch in s + s.lower())
 
 
 TEXTS = st.lists(

@@ -115,6 +115,83 @@ def test_stream_merges_clusters_across_batches(spark, stream_dirs, tmp_path):
     assert got["u:a"] == got["u:b"] == "u:a"
 
 
+def test_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: reprocessing a committed batch must not
+    duplicate sigs/bands rows, must not change labels, and must re-emit the
+    same output rows."""
+    rows = [
+        ("u:x", "the quick brown fox jumps over the lazy dog " * 20),
+        ("u:y", "completely different text about other things entirely " * 20),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_r"), CFG)
+
+    out1 = inc.process_batch(df, batch_id=0).collect()
+    sigs_n1 = spark.read.parquet(inc.sigs_path).count()
+    labels1 = sorted(
+        (r["id"], r["cluster_id"])
+        for r in spark.read.parquet(inc.labels_path).collect()
+    )
+
+    out2 = inc.process_batch(df, batch_id=0).collect()  # replay
+    sigs_n2 = spark.read.parquet(inc.sigs_path).count()
+    labels2 = sorted(
+        (r["id"], r["cluster_id"])
+        for r in spark.read.parquet(inc.labels_path).collect()
+    )
+    assert sigs_n1 == sigs_n2 == 2
+    assert labels1 == labels2
+    assert sorted((r["id"], r["cluster_id"]) for r in out1) == sorted(
+        (r["id"], r["cluster_id"]) for r in out2
+    )
+
+
+def test_stream_crash_replay_converges(spark, tmp_path):
+    """Replay after a crash BEFORE the commit marker (state writes may have
+    landed) must converge to the same state as a clean run."""
+    rows = [("u:c1", "alpha beta gamma delta epsilon zeta eta theta " * 20)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_c"), CFG)
+    inc.process_batch(df, batch_id=0)
+    # batch 1 "crashed" right before the marker: simulate by processing then
+    # deleting the marker
+    rows2 = [("u:c2", "one two three four five six seven eight nine ten " * 20)]
+    df2 = spark.createDataFrame(rows2, "url string, text string")
+    inc.process_batch(df2, batch_id=1)
+    import os
+
+    os.remove(f"{inc.commits_path}/batch_1")
+    inc.process_batch(df2, batch_id=1)  # replay from scratch
+    sigs = spark.read.parquet(inc.sigs_path)
+    assert sigs.count() == 2  # no duplicate rows for u:c2
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in spark.read.parquet(inc.labels_path).collect()
+    }
+    assert labels == {"u:c1": "u:c1", "u:c2": "u:c2"}
+
+
+def test_stream_reseen_id_first_wins(spark, tmp_path):
+    """A re-crawled url in a later batch must NOT re-enter the index (no
+    self-pairs, no conflicting label rows) — first-seen text wins."""
+    text = "shared boilerplate tokens " * 30
+    b0 = spark.createDataFrame([("u:r", text)], "url string, text string")
+    b1 = spark.createDataFrame(
+        [("u:r", text + "updated"), ("u:s", "unrelated fresh page words " * 25)],
+        "url string, text string",
+    )
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_s"), CFG)
+    inc.process_batch(b0, batch_id=0)
+    out = inc.process_batch(b1, batch_id=1)
+    # output covers only first-seen ids of the batch
+    assert {r["id"] for r in out.collect()} == {"u:s"}
+    labels = spark.read.parquet(inc.labels_path)
+    by_id = labels.groupBy("id").count().filter("count > 1").count()
+    assert by_id == 0  # exactly one label row per id
+    sigs = spark.read.parquet(inc.sigs_path)
+    assert sigs.filter(F.col("id") == "u:r").count() == 1
+
+
 def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     """readStream + event-time window agg (the Structured Streaming shape of
     tumbling_window_agg) drained with availableNow == the batch result."""
