@@ -53,6 +53,14 @@ CAP = 0.95            # DedupeConfig.confidence_cap
 MAX_HAMMING = 8       # __spark_entry__._q_simhash_pairs
 
 
+def round6(x: float) -> float:
+    """HALF_UP at 6dp — Spark's round() semantics; Python round() is
+    banker's (half-even) and differs on exact .5 ulps like 0.9203125."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def splitmix64(x: int) -> int:
     z = (x + _GOLDEN) & _M
     z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M
@@ -172,7 +180,7 @@ def main() -> None:
         {
             "doc_id": i,
             "cluster_id": cluster[i],
-            "confidence_score": round(edge_conf.get(i, 1.0), 6),
+            "confidence_score": round6(edge_conf.get(i, 1.0)),
             "duplicate_count": sizes[cluster[i]],
             "is_representative": best[cluster[i]][1] == i,
         }
@@ -197,7 +205,7 @@ def main() -> None:
                     "id1": a,
                     "id2": b,
                     "hamming": ham,
-                    "simhash_sim": round(1.0 - ham / 64.0, 6),
+                    "simhash_sim": round6(1.0 - ham / 64.0),
                 }
             )
     pdf = pd.DataFrame(prows, columns=["id1", "id2", "hamming", "simhash_sim"])
