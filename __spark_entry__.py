@@ -34,6 +34,7 @@ from fuzzy_dedupe_pipeline_spark.similarity import (
 from fuzzy_dedupe_pipeline_spark.textstats import (
     doc_fingerprints,
     lang_id_col,
+    ngram_jaccard_pairs,
     quality_score_cols,
     token_count_col,
 )
@@ -139,60 +140,16 @@ def _q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_trigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+J3 analog, SQL-expressible: word-trigram Jaccard similarity join
-    within (lang, source) blocks; relational shape (distinct-gram self-join)."""
+    within (lang, source) blocks, with the LSH-style hot-gram cap
+    (textstats.ngram_jaccard_pairs). The cap (1000 docs/gram-block) exceeds
+    the sf0.01 corpus size (500 docs), so nothing is dropped where the
+    oracle compares; at web scale it bounds the O(m^2) blowup of
+    boilerplate grams."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
-    # posexplode + lead window (NOT transform+slice: expressions inside a
-    # higher-order-function lambda re-evaluate per element -> O(n^2) regex)
-    tok = d.select(
-        "doc_id", "lang", "source", F.posexplode(toks).alias("pos", "tok")
+    pairs, _dropped = ngram_jaccard_pairs(
+        d, n=3, min_jaccard=0.01, max_gram_bucket=1000
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    g = (
-        tok.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.col("tok").alias("t0"),
-            F.lead("tok", 1).over(w).alias("t1"),
-            F.lead("tok", 2).over(w).alias("t2"),
-        )
-        .filter(F.col("t2").isNotNull())
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.concat_ws(" ", "t0", "t1", "t2").alias("gram"),
-        )
-        .dropDuplicates(["doc_id", "gram"])
-    )
-    counts = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    shared = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
-        )
-        .agg(F.count("*").cast("long").alias("shared"))
-    )
-    return (
-        shared.join(counts.select(F.col("doc_id").alias("id1"), F.col("n_grams").alias("n1")), "id1")
-        .join(counts.select(F.col("doc_id").alias("id2"), F.col("n_grams").alias("n2")), "id2")
-        .select(
-            "id1",
-            "id2",
-            F.round(
-                F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.01)
-    )
+    return pairs
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,7 +168,13 @@ def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed md5 k-gram document fingerprints (Schleimer-style, k=8 w=4)."""
+    """Winnowed md5 k-gram document fingerprints (Schleimer-style, k=8 w=4).
+
+    Parity-domain note: the engine tokenizes with Java regex \\s (which
+    includes \\x0B vertical tab) while the DuckDB oracle's RE2 '\\s+' does
+    not — texts containing VT would tokenize differently. Same documented
+    cross-runtime divergence class as \\x1c-\\x1f in normalize_text; the
+    testdata corpus contains neither."""
     return doc_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=4)
 
 

@@ -1,13 +1,19 @@
-"""Lazy (non-materializing) composition of the dedup dataflow.
+"""In-session composition of the dedup dataflow (no disk checkpoints).
 
-Same stages as pipeline.DedupePipeline but returning DataFrames without
-writing checkpoints — the shape used by __spark_entry__ queries and bench.py.
-DedupePipeline remains the production path (resumable, metrics); this is the
-ad-hoc/query path. Both call the identical stage modules, so semantics cannot
-diverge.
+Same stages as pipeline.DedupePipeline but materializing intermediates to
+session memory (persist/localCheckpoint) instead of parquet — the shape used
+by __spark_entry__ queries and bench.py. DedupePipeline remains the
+production path (resumable, metrics); this is the ad-hoc/query path. Both
+call the identical stage modules, so semantics cannot diverge.
+
+Note dedupe_clusters/dedupe_edges run eager jobs when CALLED (cache builds
+are serialized deliberately — see dedupe_edges); the returned DataFrame's
+remaining plan is cheap assembly over checkpointed edges.
 """
 
 from __future__ import annotations
+
+from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -69,25 +75,78 @@ def dedupe_edges(
 ) -> DataFrame:
     """Verified near-dup edges among exact-representatives.
 
+    Cache discipline (measured at 480k docs, local[32]): columnar-caching the
+    corpus-wide shingle arrays costs ~2x the signature UDF itself (the cache
+    build compresses 100s of MB of variable-length arrays), and any uncached
+    branch re-runs the whole UDF chain. So the persisted signature table
+    keeps ONLY the narrow columns every branch needs (minhash for banding,
+    simhash + n_tokens for verify); shingle sets are recomputed by a second
+    UDF pass over just the candidate-endpoint slice — a small fraction of the
+    corpus after exact-dedup + banding, and exactly the slice the verify
+    joins ship anyway. At 10^12 docs this is the difference between
+    materializing a corpus-sized array column and touching it only where
+    candidates exist.
+
     persists: caller-owned registry of persisted frames; the caller unpersists
     them once the result is materialized (see dedupe_clusters)."""
-    sigs = with_signatures(
-        clean_reps.select(F.col("id").alias("url"), "text_norm"),
-        cfg,
-        id_col="url",
-        text_col="text_norm",
-    ).persist()
+    reps = clean_reps.select(F.col("id").alias("url"), "text_norm")
+    sigs_small = (
+        with_signatures(reps, cfg, id_col="url", text_col="text_norm")
+        .drop("shingles")
+        .persist()
+    )
     if persists is not None:
-        persists.append(sigs)
-    lsh_pairs, _ = candidate_pairs(sigs, cfg, persists=persists)
+        persists.append(sigs_small)
+    # Eager, ORDERED materialization of each cached stage. Without it, one
+    # big checkpoint job materializes every branch at once and AQE runs
+    # independent query stages concurrently — stages racing for a
+    # not-yet-populated cache each recompute its full lineage (the signature
+    # UDF chain ran up to 3x in profiles). One count() per stage serializes
+    # the cache builds; each is a single cheap job against work that must
+    # happen anyway.
+    sigs_small.count()
+    lsh_pairs, _ = candidate_pairs(sigs_small, cfg, persists=persists)
+    # the pair tables feed three consumers each (two end_ids branches + the
+    # verify join) — persist the narrow (id1, id2) rows, not the wide inputs
+    lsh_pairs = lsh_pairs.persist()
+    lsh_pairs.count()
+    if persists is not None:
+        persists.append(lsh_pairs)
     if with_substring:
         toks = clean_reps.select(
             "id", tokens_raw_col(F.col("text_norm")).alias("tokens")
         )
         sub_pairs, _ = substring_candidates(toks, cfg, persists=persists)
+        sub_pairs = sub_pairs.persist()
+        sub_pairs.count()
+        if persists is not None:
+            persists.append(sub_pairs)
     else:
         sub_pairs = lsh_pairs.limit(0)
-    return verify_pairs(lsh_pairs, sub_pairs, sigs, cfg, persists=persists)
+    # second signature pass over candidate endpoints only — the prefilter
+    # semi-join now happens BEFORE the UDF, so verify_pairs' own prefilter
+    # is redundant (the slice is already minimal). Persisted because the
+    # verify scoring join reads it twice (a/b sides).
+    end_ids = (
+        lsh_pairs.select(F.col("id1").alias("id"))
+        .union(lsh_pairs.select(F.col("id2").alias("id")))
+        .union(sub_pairs.select(F.col("id1").alias("id")))
+        .union(sub_pairs.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    sigs_verify = with_signatures(
+        clean_reps.join(end_ids, "id", "left_semi").select(
+            F.col("id").alias("url"), "text_norm"
+        ),
+        cfg,
+        id_col="url",
+        text_col="text_norm",
+    ).persist()
+    sigs_verify.count()
+    if persists is not None:
+        persists.append(sigs_verify)
+    vcfg = replace(cfg, verify_prefilter=False)
+    return verify_pairs(lsh_pairs, sub_pairs, sigs_verify, cfg=vcfg, persists=persists)
 
 
 def dedupe_clusters(
@@ -169,7 +228,15 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: pigeonhole banding (hamming <= d => at least one
     of d+1 bit-chunks equal) -> equi-join candidates -> exact hamming filter.
-    Returns (id1, id2, hamming, simhash_sim)."""
+    Returns (id1, id2, hamming, simhash_sim).
+
+    Same hot-key guard as the LSH stage: a chunk value shared by m docs emits
+    O(m^2) join rows, so (chunk_id, chunk_val) buckets larger than
+    cfg.max_band_bucket are excluded from pair generation (pathological at
+    web scale: boilerplate-dominated corpora collapse many docs onto one
+    simhash). The default cap (5000) is far above any sandbox bucket, so
+    oracle parity at sf0.01 is unaffected.
+    """
     sigs = with_signatures(
         clean.select(F.col("id").alias("url"), "text_norm"),
         cfg,
@@ -193,6 +260,16 @@ def simhash_near_dup_pairs(
     banded = sigs.select(
         F.col("id"), F.col("simhash"), F.explode(chunks).alias("c")
     ).select("id", "simhash", "c.chunk_id", "c.chunk_val")
+    hot = (
+        banded.groupBy("chunk_id", "chunk_val")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > cfg.max_band_bucket)
+    )
+    banded = banded.join(
+        F.broadcast(hot.select("chunk_id", "chunk_val")),
+        ["chunk_id", "chunk_val"],
+        "left_anti",
+    )
     a = banded.select(
         "chunk_id", "chunk_val", F.col("id").alias("id1"), F.col("simhash").alias("s1")
     )

@@ -25,9 +25,11 @@ from fuzzy_dedupe_pipeline_spark.minhash import band_hashes_col
 
 def band_table(sigs: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """(id, band_id, band_hash) — one row per band per doc. Docs with no
-    shingles are excluded (their all-MAX signatures would all collide)."""
+    shingles are excluded (their all-MAX signatures would all collide);
+    n_tokens == 0 iff the shingle set is empty, and unlike the shingle
+    array it is present in the narrow cached signature table."""
     return (
-        sigs.filter(F.size("shingles") > 0)
+        sigs.filter(F.col("n_tokens") > 0)
         .select(
             "id",
             F.posexplode(band_hashes_col(F.col("minhash"), cfg)).alias(

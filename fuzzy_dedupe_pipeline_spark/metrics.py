@@ -107,6 +107,15 @@ class MetricsLog:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    def compact(self) -> None:
+        """Rewrite the metrics table as one file. Each append above writes
+        one small file for incremental durability (resume must see rows from
+        crashed runs); over many stages/runs that accumulates a tiny-file
+        swarm — call this at end of run. (Iceberg's rewrite_data_files
+        compaction is the production analog.)"""
+        snapshot = self.read().localCheckpoint()  # detach from source files
+        snapshot.coalesce(1).write.mode("overwrite").parquet(self.path)
+
 
 class StageTimer:
     def __init__(self) -> None:

@@ -214,7 +214,10 @@ class DedupePipeline:
                 pages_clean.select(F.col("url").alias("id"), "text_final"),
             )
 
-        return self._run_stage("07_clusters", build_clusters)
+        clusters = self._run_stage("07_clusters", build_clusters)
+        if self.recomputed:  # skip on a pure-resume no-op run
+            self.metrics.compact()
+        return clusters
 
     def _log_dropped(self, stage: str, pairs: DataFrame, dropped: DataFrame) -> DataFrame:
         """Persist skew-cap drops to the lineage table (never silent)."""

@@ -131,3 +131,89 @@ def doc_fingerprints(
         .select(F.col(id_col), "fingerprint")
         .dropDuplicates([id_col, "fingerprint"])
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    max_gram_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Word n-gram Jaccard similarity join within block_cols blocks.
+
+    Relational shape (distinct-gram self-join) with the SAME hot-key guard as
+    the LSH stage: a gram shared by m docs emits O(m^2) join rows, so grams
+    whose per-block document frequency exceeds max_gram_bucket are excluded
+    from pair generation and returned as `dropped` for the caller to log —
+    a boilerplate trigram shared by 10^5 docs at web scale would otherwise
+    produce 10^10 rows. Dropped grams also leave the Jaccard *numerator*
+    (the denominator keeps every gram), so capped scores only ever shrink —
+    the filter never invents pairs. Set max_gram_bucket above the corpus
+    ceiling (e.g. sf0.01 has 500 docs) for exact oracle parity.
+
+    Returns (pairs(id1, id2, jaccard), dropped(gram + block_cols, bucket_size)).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    # posexplode + lead window (NOT transform+slice: expressions inside a
+    # higher-order-function lambda re-evaluate per element -> O(n^2) regex)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), *block_cols, F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    g = (
+        tok.select(
+            "doc_id",
+            *block_cols,
+            F.lead("tok", n - 1).over(w).alias("_last"),
+            F.concat_ws(" ", *parts).alias("gram"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    counts = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    sizes = g.groupBy("gram", *block_cols).agg(
+        F.count("*").alias("bucket_size")
+    )
+    dropped = sizes.filter(F.col("bucket_size") > max_gram_bucket)
+    ok = g.join(
+        F.broadcast(dropped.select("gram", *block_cols)),
+        ["gram", *block_cols],
+        "left_anti",
+    )
+    block_eq = [
+        F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols
+    ]
+    shared = (
+        ok.alias("a")
+        .join(
+            ok.alias("b"),
+            [F.col("a.gram") == F.col("b.gram"), *block_eq,
+             F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    pairs = (
+        shared.join(
+            counts.select(F.col("doc_id").alias("id1"), F.col("n_grams").alias("n1")),
+            "id1",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("id2"), F.col("n_grams").alias("n2")),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return pairs, dropped

@@ -50,6 +50,7 @@ def main() -> None:
 
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
+    tasks: dict[int, list] = {}
     paths = [p for p in glob.glob(f"{log_dir}/**", recursive=True) if os.path.isfile(p)]
     for path in paths:
         with open(path, errors="replace") as f:
@@ -82,6 +83,13 @@ def main() -> None:
                             "name": si["Stage Name"],
                             "ntasks": si["Number of Tasks"],
                         }
+                elif e == "SparkListenerTaskEnd":
+                    sid = ev["Stage ID"]
+                    ti = ev.get("Task Info", {})
+                    if "Finish Time" in ti and "Launch Time" in ti:
+                        tasks.setdefault(sid, []).append(
+                            (ti["Finish Time"] - ti["Launch Time"]) / 1000.0
+                        )
 
     total = 0.0
     rows = []
@@ -96,10 +104,16 @@ def main() -> None:
     for jid, dur, ntasks, site in rows:
         if dur >= 0.2:
             print(f"  job {jid:4d}  {dur:7.2f}s  {ntasks:5d} tasks  {site}")
-    print("top stages:")
+    print("top stages (dur, tasks, max/median task — skew signal):")
+    import statistics
+
     for sid, s in sorted(stages.items(), key=lambda kv: -kv[1]["dur"])[:25]:
+        ts = sorted(tasks.get(sid, []))
+        mx = ts[-1] if ts else 0.0
+        md = statistics.median(ts) if ts else 0.0
         print(
-            f"  stage {sid:4d}  {s['dur']:7.2f}s  {s['ntasks']:5d} tasks  {s['name'][:90]}"
+            f"  stage {sid:4d}  {s['dur']:7.2f}s  {s['ntasks']:5d} tasks  "
+            f"max {mx:7.2f}s med {md:6.2f}s  {s['name'][:70]}"
         )
 
 

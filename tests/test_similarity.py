@@ -84,3 +84,31 @@ def test_ivf_topk_recall_and_determinism(spark):
     again = {(r["query_id"], r["neighbor_id"])
              for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4).collect()}
     assert got == again
+
+
+def test_cosine_dup_pairs_blocked_path(spark):
+    """The scale path: block_col restricts the pair join to equi-blocks —
+    the plan must be a shuffle/broadcast HASH or SORT-MERGE join (never a
+    nested loop over the corpus), and results within blocks must equal the
+    all-pairs baseline filtered to same-block pairs."""
+    from fuzzy_dedupe_pipeline_spark.similarity import cosine_dup_pairs
+    import pyspark.sql.functions as F
+
+    df, _ = _emb_df(spark, n=80)
+    blocked_df = df.withColumn("blk", (F.col("vec_id") % 4).cast("int"))
+    blocked = cosine_dup_pairs(blocked_df, threshold=0.2, block_col="blk")
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+    all_pairs = cosine_dup_pairs(df, threshold=0.2).collect()
+    blk = {r.vec_id: r.vec_id % 4 for r in df.collect()}
+    want = {
+        (r.id1, r.id2, r.cosine) for r in all_pairs if blk[r.id1] == blk[r.id2]
+    }
+    got = {(r.id1, r.id2, r.cosine) for r in blocked.collect()}
+    assert got == want and len(got) > 0

@@ -39,3 +39,48 @@ def test_quality_score_ranges(spark):
     assert 0.0 <= out[1].quality_score <= 1.0
     assert out[1].quality_score > out[2].quality_score
     assert out[3].n_tokens == 0 and out[3].quality_score == 0.1  # punct arm only
+
+
+def test_ngram_hot_gram_cap(spark):
+    """A gram shared by every doc must not blow up pair generation O(m^2):
+    over-cap grams are excluded and reported, never silently kept."""
+    from fuzzy_dedupe_pipeline_spark.textstats import ngram_jaccard_pairs
+
+    hot = "aaa bbb ccc"
+    rows = [
+        (f"d{i:03d}", "en", "s", f"{hot} unique{i} filler{i} words{i} here{i}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, lang string, source string, text string"
+    )
+    # cap below the planted bucket: the hot gram is dropped and logged
+    pairs, dropped = ngram_jaccard_pairs(docs, n=3, max_gram_bucket=10)
+    assert pairs.count() == 0
+    d = dropped.collect()
+    assert len(d) >= 1 and all(r["bucket_size"] == 40 for r in d)
+    # cap above it: full pair set returns (jaccard 1/(4+4-1) > 0.01)
+    pairs2, dropped2 = ngram_jaccard_pairs(docs, n=3, max_gram_bucket=100)
+    assert pairs2.count() == 40 * 39 // 2
+    assert dropped2.count() == 0
+
+
+def test_simhash_hot_chunk_cap(spark):
+    """Docs collapsing onto one simhash are a hot chunk bucket: pair
+    generation must stay bounded under the cap."""
+    from fuzzy_dedupe_pipeline_spark.config import DedupeConfig
+    from fuzzy_dedupe_pipeline_spark.dataflow import clean_docs, simhash_near_dup_pairs
+
+    text = "identical boilerplate page body words repeated " * 8
+    docs = spark.createDataFrame(
+        [(f"u{i:03d}", text) for i in range(30)], "url string, text string"
+    )
+    clean = clean_docs(docs, "url", "text")
+    capped = simhash_near_dup_pairs(
+        clean, DedupeConfig(max_band_bucket=10), max_hamming=3
+    )
+    assert capped.count() == 0  # every chunk bucket is hot -> dropped
+    full = simhash_near_dup_pairs(
+        clean, DedupeConfig(max_band_bucket=5000), max_hamming=3
+    )
+    assert full.count() == 30 * 29 // 2
