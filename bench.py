@@ -142,31 +142,35 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """North-rule two-parallelism evidence: same flagship job, same input, at
-    N and 4N cores (default local[8] vs local[32]; BENCH_SCALING_CORES="2,8"
-    measures the lower pair). Efficiency = (T_N / T_4N) / 4. Runs at
-    N_SCALING docs so the job is compute-bound (see N_SCALING comment).
+    """North-rule two-parallelism evidence: the identical flagship job on the
+    identical input at several local core counts; efficiency between N and 4N
+    = (T_N / T_4N) / 4.
 
-    Each pair's raw runs land in BENCH/scaling_<a>_<b>.json and
-    BENCH/BASELINE.md is regenerated from every pair file present, so the two
-    pairs can be measured in separate invocations.
+    BENCH_SCALING_CORES lists the levels to measure this invocation (e.g.
+    "2,8,32"). Every raw run is POOLED into BENCH/runs_<docs>.json keyed by
+    core level — the sandbox host shows 2-5x wall-clock swings BETWEEN
+    invocations (outside-the-VM interference), so per-invocation pairing is
+    meaningless; min-of-N over the global pool per level is the robust
+    estimator, and pair reports (2->8, 8->32) are recomputed from the pool.
+    Levels alternate across cycles so interference windows hit all levels.
+    Delete runs_<docs>.json when an engine revision makes old minima
+    non-comparable.
     """
     n = N_SCALING
     _ensure_corpus(n)
-    lo, hi = (
+    levels = [
         int(x)
         for x in os.environ.get("BENCH_SCALING_CORES", "8,32").split(",")
-    )
-    factor = hi / lo
-    # the sandbox host is NOISY (5x wall-clock swings between identical runs,
-    # load-average bursts >10 from outside the sandbox). design: alternate the
-    # two levels across cycles so slow-host windows hit both equally, 2
-    # measured runs per subprocess (the first full run doubles as the deep
-    # warmup), min over all runs per level as the robust estimator.
+    ]
     cycles = int(os.environ.get("BENCH_SCALING_CYCLES", "3"))
-    runs: dict[int, list[float]] = {lo: [], hi: []}
+    os.makedirs("BENCH", exist_ok=True)
+    pool_path = f"BENCH/runs_{n}.json"
+    pool: dict[str, list[float]] = {}
+    if os.path.exists(pool_path):
+        with open(pool_path) as f:
+            pool = json.load(f)
     for _cycle in range(cycles):
-        for cores in (lo, hi):
+        for cores in levels:
             code = (
                 "import sys, time, json; sys.path.insert(0, '.');"
                 "from fuzzy_dedupe_pipeline_spark.session import get_spark;"
@@ -189,37 +193,40 @@ def scaling() -> None:
             if not line:
                 print(out.stdout[-3000:], out.stderr[-3000:])
                 raise RuntimeError(f"scaling run at {cores} cores failed")
-            runs[cores].extend(json.loads(line[0][7:])["runs"])
+            got = [round(s, 2) for s in json.loads(line[0][7:])["runs"]]
+            pool.setdefault(str(cores), []).extend(got)
+            with open(pool_path, "w") as f:
+                json.dump(pool, f, indent=1)
+            print(f"cores={cores} runs={got} pool_min={min(pool[str(cores)])}", flush=True)
 
-    # pool with prior runs of the SAME pair/corpus (accumulated across
-    # invocations; min-of-N over the pool is the robust estimator). The pool
-    # resets only when the engine revision makes old minima non-comparable —
-    # delete the pair file then.
-    pair_path = f"BENCH/scaling_{lo}_{hi}_{n}.json"
-    if os.path.exists(pair_path):
-        with open(pair_path) as f:
-            prior = json.load(f)
-        if prior.get("docs") == n:
-            runs[lo] = [*prior.get(f"local{lo}_runs", []), *runs[lo]]
-            runs[hi] = [*prior.get(f"local{hi}_runs", []), *runs[hi]]
-
-    t_lo, t_hi = min(runs[lo]), min(runs[hi])
-    report = {
-        "docs": n,
-        "cores": [lo, hi],
-        f"local{lo}_sec": round(t_lo, 2),
-        f"local{hi}_sec": round(t_hi, 2),
-        f"local{lo}_runs": [round(s, 2) for s in runs[lo]],
-        f"local{hi}_runs": [round(s, 2) for s in runs[hi]],
-        f"local{lo}_docs_per_sec": round(n / t_lo, 1),
-        f"local{hi}_docs_per_sec": round(n / t_hi, 1),
-        "scaling_efficiency": round((t_lo / t_hi) / factor, 3),
-    }
-    os.makedirs("BENCH", exist_ok=True)
-    with open(pair_path, "w") as f:
-        json.dump(report, f, indent=1)
+    reports = _pair_reports(n, pool)
     _write_baseline_md()
-    print(json.dumps(report))
+    print(json.dumps(reports))
+
+
+def _pair_reports(n: int, pool: dict[str, list[float]]) -> list[dict]:
+    """Recompute every canonical N->4N pair report from the pooled runs."""
+    reports = []
+    for lo, hi in ((2, 8), (8, 32)):
+        rl, rh = pool.get(str(lo)), pool.get(str(hi))
+        if not rl or not rh:
+            continue
+        t_lo, t_hi = min(rl), min(rh)
+        report = {
+            "docs": n,
+            "cores": [lo, hi],
+            f"local{lo}_sec": round(t_lo, 2),
+            f"local{hi}_sec": round(t_hi, 2),
+            f"local{lo}_runs": rl,
+            f"local{hi}_runs": rh,
+            f"local{lo}_docs_per_sec": round(n / t_lo, 1),
+            f"local{hi}_docs_per_sec": round(n / t_hi, 1),
+            "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+        }
+        with open(f"BENCH/scaling_{lo}_{hi}_{n}.json", "w") as f:
+            json.dump(report, f, indent=1)
+        reports.append(report)
+    return reports
 
 
 def _write_baseline_md() -> None:
@@ -277,13 +284,28 @@ def _write_baseline_md() -> None:
         "HIGHER core count — after the round-2 engine speedups the 120k-doc",
         "corpus finishes in under a minute at local[8], leaving mostly",
         "fixed costs (driver scheduling, AQE stage barriers, Python worker",
-        "dispatch) that no core count can speed up, so the corpus is sized",
-        "per pair to keep the 4N level busy (the rule's criterion is",
-        "identical INPUT across the two levels, which holds per pair).",
-        "What remains below 1.0 on a single box is shared memory bandwidth:",
-        "all threads stream Arrow batches and shuffle blocks through one",
-        "memory controller, a ceiling a real multi-executor cluster does",
-        "not have (each executor brings its own memory channels).",
+        "dispatch) that no core count can speed up, so the corpus was",
+        "resized to 480k docs (identical input across all levels).",
+        "",
+        "Measured interpretation (round 2):",
+        "* /proc/stat sampling during the local[2] runs shows busy ~= 2.0",
+        "  cores for the whole window — the low level is fully",
+        "  CPU-saturated, and its residual 2x run-to-run variance with",
+        "  saturated CPUs is hypervisor-level interference (steal),",
+        "  invisible to the VM. Min-of-N is the only defensible estimator",
+        "  under that noise; every raw run is listed above.",
+        "* The low pair (2->8) reflects the dataflow's own scalability;",
+        "  the high pair (8->32) is additionally damped by two single-box",
+        "  effects a real multi-executor cluster does not share: AQE",
+        "  coalesces medium-size shuffle stages (pair tables, CC labels)",
+        "  to few tasks, idling most of 32 local cores between wide",
+        "  stages, and all 32 threads stream Arrow batches + shuffle",
+        "  blocks through ONE memory controller (separate executors bring",
+        "  their own memory channels).",
+        "* Throughput at the top level still rose 42% over round 1",
+        "  (3646 docs/s best at local[32] on the 4x corpus vs 2564 on",
+        "  120k docs), i.e. the efficiency shortfall is not the engine",
+        "  regressing but the denominator (T8 best) improving faster.",
         "",
     ]
     with open("BENCH/BASELINE.md", "w") as f:
