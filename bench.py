@@ -158,10 +158,7 @@ def scaling() -> None:
     """
     n = N_SCALING
     _ensure_corpus(n)
-    levels = [
-        int(x)
-        for x in os.environ.get("BENCH_SCALING_CORES", "8,32").split(",")
-    ]
+    levels = os.environ.get("BENCH_SCALING_CORES", "8,32").split(",")
     cycles = int(os.environ.get("BENCH_SCALING_CYCLES", "3"))
     os.makedirs("BENCH", exist_ok=True)
     pool_path = f"BENCH/runs_{n}.json"
@@ -170,12 +167,28 @@ def scaling() -> None:
         with open(pool_path) as f:
             pool = json.load(f)
     for _cycle in range(cycles):
-        for cores in levels:
+        for level in levels:
+            # "8" -> local[8]; "4x8" -> local-cluster[4 executors, 8 cores
+            # each] (multi-executor evidence: separate JVMs + Python workers,
+            # per-executor heaps, shuffle over loopback)
+            if "x" in level:
+                execs, per = (int(v) for v in level.split("x"))
+                total = execs * per
+                spark_expr = (
+                    f"get_spark(cores={per}, executors={execs}, "
+                    f"shuffle_partitions={max(8, total)})"
+                )
+            else:
+                cores = int(level)
+                spark_expr = (
+                    f"get_spark(cores={cores}, "
+                    f"shuffle_partitions={max(8, cores)})"
+                )
             code = (
                 "import sys, time, json; sys.path.insert(0, '.');"
                 "from fuzzy_dedupe_pipeline_spark.session import get_spark;"
                 "import bench;"
-                f"spark = get_spark(cores={cores}, shuffle_partitions={max(8, cores)});"
+                f"spark = {spark_expr};"
                 "rs = [];\n"
                 "for i in range(2):\n"
                 f"    rs.append(bench.run_flagship(spark, warmup=(i == 0), n_docs={n}))\n"
@@ -194,34 +207,55 @@ def scaling() -> None:
                 print(out.stdout[-3000:], out.stderr[-3000:])
                 raise RuntimeError(f"scaling run at {cores} cores failed")
             got = [round(s, 2) for s in json.loads(line[0][7:])["runs"]]
-            pool.setdefault(str(cores), []).extend(got)
+            pool.setdefault(level, []).extend(got)
             with open(pool_path, "w") as f:
                 json.dump(pool, f, indent=1)
-            print(f"cores={cores} runs={got} pool_min={min(pool[str(cores)])}", flush=True)
+            print(f"level={level} runs={got} pool_min={min(pool[level])}", flush=True)
 
     reports = _pair_reports(n, pool)
     _write_baseline_md()
     print(json.dumps(reports))
 
 
+def _level_cores(level: str) -> int:
+    if "x" in level:
+        execs, per = (int(v) for v in level.split("x"))
+        return execs * per
+    return int(level)
+
+
+def _level_label(level: str) -> str:
+    if "x" in level:
+        execs, per = level.split("x")
+        return f"local-cluster[{execs} execs x {per} cores]"
+    return f"local[{level}]"
+
+
 def _pair_reports(n: int, pool: dict[str, list[float]]) -> list[dict]:
-    """Recompute every canonical N->4N pair report from the pooled runs."""
+    """Recompute every canonical N->4N pair report from the pooled runs.
+
+    Local-thread pairs (2->8, 8->32) measure single-JVM strong scaling;
+    executor pairs (1x8->4x8) measure the north rule's N->4N EXECUTORS with
+    separate worker JVMs — the multi-executor evidence the rule asks for.
+    """
     reports = []
-    for lo, hi in ((2, 8), (8, 32)):
-        rl, rh = pool.get(str(lo)), pool.get(str(hi))
+    for lo, hi in (("2", "8"), ("8", "32"), ("1x8", "4x8"), ("1x4", "4x4")):
+        rl, rh = pool.get(lo), pool.get(hi)
         if not rl or not rh:
             continue
         t_lo, t_hi = min(rl), min(rh)
+        factor = _level_cores(hi) / _level_cores(lo)
         report = {
             "docs": n,
-            "cores": [lo, hi],
-            f"local{lo}_sec": round(t_lo, 2),
-            f"local{hi}_sec": round(t_hi, 2),
-            f"local{lo}_runs": rl,
-            f"local{hi}_runs": rh,
-            f"local{lo}_docs_per_sec": round(n / t_lo, 1),
-            f"local{hi}_docs_per_sec": round(n / t_hi, 1),
-            "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+            "levels": [lo, hi],
+            "labels": [_level_label(lo), _level_label(hi)],
+            "lo_sec": round(t_lo, 2),
+            "hi_sec": round(t_hi, 2),
+            "lo_runs": rl,
+            "hi_runs": rh,
+            "lo_docs_per_sec": round(n / t_lo, 1),
+            "hi_docs_per_sec": round(n / t_hi, 1),
+            "scaling_efficiency": round((t_lo / t_hi) / factor, 3),
         }
         with open(f"BENCH/scaling_{lo}_{hi}_{n}.json", "w") as f:
             json.dump(report, f, indent=1)
@@ -260,22 +294,23 @@ def _write_baseline_md() -> None:
         "",
     ]
     for r in pairs:
-        lo, hi = r["cores"]
-        factor = hi / lo
+        lo, hi = r["levels"]
+        lab_lo, lab_hi = r["labels"]
+        factor = _level_cores(hi) / _level_cores(lo)
         lines += [
-            f"## local[{lo}] vs local[{hi}]  (factor {factor:g})",
+            f"## {lab_lo} vs {lab_hi}  (factor {factor:g})",
             "",
             "| metric | value |",
             "|---|---|",
             f"| synthetic docs | {r['docs']} |",
-            f"| local[{lo}] wall (min) | {r[f'local{lo}_sec']} s |",
-            f"| local[{hi}] wall (min) | {r[f'local{hi}_sec']} s |",
-            f"| local[{lo}] throughput | {r[f'local{lo}_docs_per_sec']} docs/s |",
-            f"| local[{hi}] throughput | {r[f'local{hi}_docs_per_sec']} docs/s |",
-            f"| scaling efficiency (T{lo}/T{hi})/{factor:g} | {r['scaling_efficiency']} |",
+            f"| {lab_lo} wall (min) | {r['lo_sec']} s |",
+            f"| {lab_hi} wall (min) | {r['hi_sec']} s |",
+            f"| {lab_lo} throughput | {r['lo_docs_per_sec']} docs/s |",
+            f"| {lab_hi} throughput | {r['hi_docs_per_sec']} docs/s |",
+            f"| scaling efficiency (T_lo/T_hi)/{factor:g} | {r['scaling_efficiency']} |",
             "",
-            f"raw local[{lo}] runs (s): {r[f'local{lo}_runs']}",
-            f"raw local[{hi}] runs (s): {r[f'local{hi}_runs']}",
+            f"raw {lab_lo} runs (s): {r['lo_runs']}",
+            f"raw {lab_hi} runs (s): {r['hi_runs']}",
             "",
         ]
     lines += [

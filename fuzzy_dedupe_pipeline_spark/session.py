@@ -17,12 +17,20 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    executors: int | None = None,
+    executor_mem_mb: int = 12288,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores: local[N] thread count; defaults to $SPARK_GRAFT_CPUS or '*'.
     shuffle_partitions: defaults to the core count (local mode: one JVM,
     shuffles hit local disk — 200 default partitions would just add overhead).
+    executors: when set, use multi-executor local-cluster[executors, cores,
+    executor_mem_mb] — separate worker JVMs + per-executor Python workers,
+    shuffle over loopback. This is the sandbox stand-in for a real N-executor
+    cluster (the north rule's two-cluster-size evidence); `cores` then means
+    cores PER EXECUTOR. Each executor gets its own `executor_mem_mb` heap so
+    N and 4N executors each bring their own memory, like real cluster nodes.
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -31,9 +39,14 @@ def get_spark(
     else:
         master = f"local[{cores}]"
         n = cores
+    if executors is not None:
+        per = cores or 8
+        master = f"local-cluster[{executors},{per},{executor_mem_mb}]"
+        n = executors * per
     if shuffle_partitions is None:
         shuffle_partitions = max(8, n)
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -48,6 +61,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if executors is not None:
+        # local-cluster: executor processes need the package on PYTHONPATH
+        # (stand-in for spark-submit --py-files) and their declared heap.
+        builder = (
+            builder.config("spark.executor.memory", f"{executor_mem_mb}m")
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+            # worker/executor daemon JVMs are short-lived; keep their logs down
+            .config("spark.worker.cleanup.enabled", "true")
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -110,6 +110,118 @@ class IncrementalDedupe:
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_label_buckets)).cast("int")
 
+    # -- state compaction ----------------------------------------------------
+    #
+    # sigs/ and bands/ gain one batch_id=N partition dir per micro-batch; at
+    # thousands of batches the state read cost is dominated by file listing.
+    # compact_state() rewrites all partitions STRICTLY BELOW the newest
+    # committed batch into the single sentinel partition batch_id=-1 (merging
+    # any previous sentinel). The newest committed partition is kept as-is so
+    # an at-least-once replay of the most recent batch (the only batch the
+    # stream checkpoint can replay) still finds its own partition. Iceberg
+    # mapping: rewrite_data_files + expire_snapshots.
+    #
+    # Crash safety (marker protocol, same spirit as the commit markers):
+    #   1. write consolidated rows to {state}/.compact/<table>/ (+_SUCCESS)
+    #   2. write marker {state}/.compact/COMMIT_<table> listing source dirs
+    #   3. delete source partition dirs
+    #   4. rename staging -> <table>/batch_id=-1
+    #   5. delete marker
+    # A crash before 2 leaves only staging garbage (sources intact). A crash
+    # after 2 is finished by _recover_compaction() (called at the top of
+    # process_batch): the marker proves staging holds the full merged set, so
+    # re-running 3-5 is idempotent.
+
+    def _compact_marker(self, table: str) -> str:
+        return f"{self.state_dir}/.compact/COMMIT_{table}"
+
+    def _list_batch_parts(self, spark: SparkSession, path: str) -> list[int]:
+        fs, hpath = self._fs(spark, path)
+        if not fs.exists(hpath):
+            return []
+        out = []
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                out.append(int(name.split("=", 1)[1]))
+        return out
+
+    def _compact_table(
+        self, spark: SparkSession, path: str, table: str, merge_ids: list[int]
+    ) -> None:
+        staging = f"{self.state_dir}/.compact/{table}"
+        parts = [f"{path}/batch_id={b}" for b in sorted(merge_ids)]
+        # read_parquet on explicit dirs drops the partition column; that is
+        # fine — the consolidated rows live under batch_id=-1 afterwards
+        (
+            spark.read.parquet(*parts)
+            .coalesce(max(1, self.n_label_buckets // 8))
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        marker = self._compact_marker(table)
+        mfs, mpath = self._fs(spark, marker)
+        out = mfs.create(mpath, True)
+        out.write(bytearray("\n".join(map(str, sorted(merge_ids))).encode()))
+        out.close()
+        self._finish_compaction(spark, path, table)
+
+    def _finish_compaction(self, spark: SparkSession, path: str, table: str) -> None:
+        """Steps 3-5 of the protocol; idempotent, also the crash-recovery."""
+        jvm = spark._jvm
+        marker = self._compact_marker(table)
+        mfs, mpath = self._fs(spark, marker)
+        if not mfs.exists(mpath):
+            return
+        merged = (
+            spark.read.format("text").load(marker).toPandas()["value"].tolist()
+        )
+        staging = f"{self.state_dir}/.compact/{table}"
+        sfs, spath = self._fs(spark, staging)
+        fs, _ = self._fs(spark, path)
+        if sfs.exists(spath):
+            for b in merged:
+                p = jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={int(b)}")
+                if fs.exists(p):
+                    fs.delete(p, True)
+            fs.rename(spath, jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id=-1"))
+        mfs.delete(mpath, False)
+
+    def _recover_compaction(self, spark: SparkSession) -> None:
+        for table, path in (("sigs", self.sigs_path), ("bands", self.bands_path)):
+            self._finish_compaction(spark, path, table)
+
+    def compact_state(self, watermark: int | None = None) -> int:
+        """Merge sigs/bands partitions with batch_id < watermark (default: the
+        newest committed batch) into the batch_id=-1 sentinel. Returns the
+        number of partition dirs merged per table (0 = nothing to do).
+        Run between triggers (maintenance), not concurrent with a batch."""
+        spark = self.spark
+        self._recover_compaction(spark)
+        if watermark is None:
+            fs, hpath = self._fs(spark, self.commits_path)
+            if not fs.exists(hpath):
+                return 0
+            committed = [
+                int(st.getPath().getName().split("_", 1)[1])
+                for st in fs.listStatus(hpath)
+            ]
+            if not committed:
+                return 0
+            watermark = max(committed)
+        merged = 0
+        for table, path in (("sigs", self.sigs_path), ("bands", self.bands_path)):
+            ids = [
+                b
+                for b in self._list_batch_parts(spark, path)
+                if b == -1 or b < watermark
+            ]
+            if len(ids) <= 1:
+                continue
+            self._compact_table(spark, path, table, ids)
+            merged = max(merged, len(ids))
+        return merged
+
     # -- one micro-batch -----------------------------------------------------
 
     def process_batch(
@@ -125,6 +237,9 @@ class IncrementalDedupe:
         """
         spark = batch_df.sparkSession
         cfg = self.cfg
+        # finish any compaction a crash interrupted (no-op in the common case:
+        # two existence probes)
+        self._recover_compaction(spark)
 
         # intra-batch id collapse must be DETERMINISTIC (dropDuplicates keeps
         # an arbitrary row, which would break replay idempotence): min text
@@ -141,10 +256,19 @@ class IncrementalDedupe:
 
         if self._committed(spark, batch_id):
             # replayed batch: state already reflects it — re-emit output from
-            # the stored labels, touch nothing
+            # the stored labels, touch nothing. The original execution only
+            # emitted ids it actually signed (re-seen ids were dropped by the
+            # first-seen-wins anti-join), so restrict to this batch's own sigs
+            # partition — joining ALL clean ids against labels would re-emit
+            # rows the original run never produced (extra rows in an
+            # at-least-once downstream sink).
+            batch_ids = spark.read.parquet(
+                f"{self.sigs_path}/batch_id={batch_id}"
+            ).select("id")
             labels = spark.read.parquet(self.labels_path)
             return (
                 clean.select("id")
+                .join(batch_ids, "id", "left_semi")
                 .join(labels.select("id", "cluster_id"), "id", "left")
                 .select(
                     "id",

@@ -192,6 +192,131 @@ def test_stream_reseen_id_first_wins(spark, tmp_path):
     assert sigs.filter(F.col("id") == "u:r").count() == 1
 
 
+def test_stream_replay_with_reseen_id_is_idempotent(spark, tmp_path):
+    """Replay of a COMMITTED batch containing a re-seen id must re-emit
+    exactly the rows the original execution emitted (the first-seen-wins
+    filter drops the re-seen id before signing; the committed-replay branch
+    must apply the same restriction by reading the batch's own sigs
+    partition, not join all clean ids against stored labels)."""
+    text = "shared boilerplate tokens " * 30
+    b0 = spark.createDataFrame([("u:r", text)], "url string, text string")
+    b1 = spark.createDataFrame(
+        [("u:r", text + "updated"), ("u:s", "unrelated fresh page words " * 25)],
+        "url string, text string",
+    )
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_rr"), CFG)
+    inc.process_batch(b0, batch_id=0)
+    out1 = sorted(
+        (r["id"], r["cluster_id"])
+        for r in inc.process_batch(b1, batch_id=1).collect()
+    )
+    out2 = sorted(
+        (r["id"], r["cluster_id"])
+        for r in inc.process_batch(b1, batch_id=1).collect()  # replay
+    )
+    assert out1 == out2 == [("u:s", "u:s")]
+
+
+def test_stream_state_compaction_bounds_partitions(spark, tmp_path):
+    """After many micro-batches, compact_state() must collapse all but the
+    newest committed partition into the batch_id=-1 sentinel, preserve the
+    index contents (a later near-dup batch still matches compacted history),
+    and keep replay of the newest batch working."""
+    import os
+
+    base = "zebra yak xylophone walrus vulture tiger snake rabbit quail pig " * 12
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_cmp"), CFG)
+    for b in range(5):
+        df = spark.createDataFrame(
+            [(f"u:{b}", base + f"tail {b}" if b < 2 else f"distinct page {b} " * 30)],
+            "url string, text string",
+        )
+        inc.process_batch(df, batch_id=b)
+
+    def batch_dirs(path):
+        return sorted(
+            d for d in os.listdir(path) if d.startswith("batch_id=")
+        )
+
+    assert len(batch_dirs(inc.sigs_path)) == 5
+    pre_sigs = spark.read.parquet(inc.sigs_path).select("id")
+    pre_ids = {r["id"] for r in pre_sigs.collect()}
+
+    merged = inc.compact_state()
+    assert merged == 4  # batches 0-3 merged; newest (4) kept for replay
+    assert batch_dirs(inc.sigs_path) == ["batch_id=-1", "batch_id=4"]
+    assert batch_dirs(inc.bands_path) == ["batch_id=-1", "batch_id=4"]
+    post_ids = {r["id"] for r in spark.read.parquet(inc.sigs_path).collect()}
+    assert post_ids == pre_ids
+
+    # replay of the newest committed batch still emits its rows
+    df4 = spark.createDataFrame(
+        [("u:4", "distinct page 4 " * 30)], "url string, text string"
+    )
+    out = inc.process_batch(df4, batch_id=4)
+    assert {r["id"] for r in out.collect()} == {"u:4"}
+
+    # a new batch near-dup of COMPACTED batch-0 text must still cluster with it
+    df5 = spark.createDataFrame(
+        [("u:new", base + "tail zz")], "url string, text string"
+    )
+    inc.process_batch(df5, batch_id=5)
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in spark.read.parquet(inc.labels_path).collect()
+    }
+    assert labels["u:new"] == labels["u:0"]
+
+    # second compaction folds batch 4 + the sentinel + batch 5's predecessor set
+    inc.compact_state()
+    assert batch_dirs(inc.sigs_path) == ["batch_id=-1", "batch_id=5"]
+
+
+def test_stream_compaction_crash_recovery(spark, tmp_path):
+    """A crash between the compaction marker write and the staging rename is
+    finished by the next process_batch (marker protocol)."""
+    import os
+    import shutil
+
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_crash"), CFG)
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(f"u:{b}", f"wholly distinct page number {b} " * 25)],
+            "url string, text string",
+        )
+        inc.process_batch(df, batch_id=b)
+
+    # run compaction steps 1-2 by hand, then "crash" before steps 3-5
+    ids = [
+        b
+        for b in inc._list_batch_parts(spark, inc.sigs_path)
+        if b < 2
+    ]
+    staging = f"{inc.state_dir}/.compact/sigs"
+    (
+        spark.read.parquet(*[f"{inc.sigs_path}/batch_id={b}" for b in ids])
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    os.makedirs(f"{inc.state_dir}/.compact", exist_ok=True)
+    with open(inc._compact_marker("sigs"), "w") as f:
+        f.write("\n".join(map(str, ids)))
+
+    # next batch triggers recovery first
+    df = spark.createDataFrame(
+        [("u:3", "another wholly distinct page " * 25)], "url string, text string"
+    )
+    inc.process_batch(df, batch_id=3)
+    dirs = sorted(
+        d for d in os.listdir(inc.sigs_path) if d.startswith("batch_id=")
+    )
+    assert dirs == ["batch_id=-1", "batch_id=2", "batch_id=3"]
+    assert not os.path.exists(inc._compact_marker("sigs"))
+    ids_now = {r["id"] for r in spark.read.parquet(inc.sigs_path).select("id").collect()}
+    assert ids_now == {"u:0", "u:1", "u:2", "u:3"}
+
+
 def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     """readStream + event-time window agg (the Structured Streaming shape of
     tumbling_window_agg) drained with availableNow == the batch result."""
