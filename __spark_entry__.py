@@ -33,7 +33,7 @@ from fuzzy_dedupe_pipeline_spark.similarity import (
 )
 from fuzzy_dedupe_pipeline_spark.textstats import (
     doc_fingerprints,
-    lang_id_col,
+    with_lang_id,
     ngram_jaccard_pairs,
     quality_score_cols,
     token_count_col,
@@ -106,7 +106,9 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
+    # with_lang_id tokenizes once (staged projections); lang_id_col would
+    # re-split the text once per language in a single expression tree
+    return with_lang_id(d, text_col="text").select("doc_id", "lang_pred")
 
 
 def _q_rep_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,9 +164,22 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs verify baseline)."""
+    """Embedding-cosine near-dup pairs (exact all-pairs verify baseline).
+
+    Labeled baseline ONLY: the self-join condition is a pure range predicate,
+    so this is a corpus-wide cross product — infeasible at 100 TB. The
+    scalable registered form is cosine_dup_pairs_blocked below."""
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_dup_pairs(emb, threshold=0.35, round_dp=4)
+
+
+def _q_cosine_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: same cosine threshold restricted to same-`label` blocks —
+    the join becomes an equi-join Catalyst shuffles on (plan-asserted: no
+    BroadcastNestedLoopJoin). At 100 TB the block column is an LSH bucket /
+    IVF list / cluster id; here the table's label column plays that role."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, threshold=0.35, round_dp=4, block_col="label")
 
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stats": _q_cluster_stats,
         "trigram_jaccard_pairs": _q_trigram_jaccard,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
+        "cosine_dup_pairs_blocked": _q_cosine_dup_pairs_blocked,
         "doc_fingerprint": _q_doc_fingerprint,
         "ann_cosine_topk": _q_ann_topk,
         "join_agg_revenue": _q_join_agg,
@@ -470,6 +486,21 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
                                 i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 4) AS cosine
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT id1, id2, cosine FROM s WHERE cosine >= 0.35
+        """,
+        "cosine_dup_pairs_blocked": """
+            WITH s AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                     round(
+                       list_sum(list_transform(range(1, len(a.embedding)+1),
+                                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                                i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                                i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 4) AS cosine
+              FROM embeddings a
+              JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             )
             SELECT id1, id2, cosine FROM s WHERE cosine >= 0.35
         """,

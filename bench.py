@@ -109,12 +109,12 @@ def main() -> None:
         "minhash_lsh_dedup",
         "simhash_near_dup",
     ]
-    # min-of-2 per query: the sandbox host shows multi-x wall-clock swings
+    # min-of-3 per query: the sandbox host shows multi-x wall-clock swings
     # between identical runs, so a single sample reflects host noise, not
     # engine capability (same estimator as the flagship above)
     for name in bench_queries:
         best = float("inf")
-        for _rep in range(2):
+        for _rep in range(3):
             tq = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - tq)

@@ -25,9 +25,9 @@ Driver-side loop is unavoidable (Catalyst has no fixpoint operator); per-round
 work is fully distributed — only the convergence *count* comes to the driver.
 
 Cluster note: localCheckpoint blocks live in executor memory/disk and are
-lost on executor death; on a real multi-executor cluster set a reliable
-checkpoint dir (sc.setCheckpointDir on HDFS/S3) and swap localCheckpoint for
-checkpoint, trading recovery for one distributed write per round.
+lost on executor death; pass checkpoint_dir (DedupeConfig.checkpoint_dir
+wires it through every caller) to use reliable checkpoints on HDFS/S3
+instead, trading one distributed write per round for executor-loss recovery.
 """
 
 from __future__ import annotations
@@ -37,27 +37,39 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 50
+    edges: DataFrame, max_iters: int = 50, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """edges: (id1, id2) undirected (any orientation). Returns
     (id, cluster_id) for every id that appears in an edge; cluster_id = min id
     of its component. Callers attach singletons via left join + coalesce.
+
+    checkpoint_dir: when set (HDFS/S3/local path), per-round lineage
+    truncation uses RELIABLE checkpoints into that dir instead of
+    localCheckpoint — localCheckpoint blocks live in executor memory/disk
+    and die with the executor, so on a real multi-executor cluster an
+    executor loss mid-CC would fail the job unrecoverably. Costs one
+    distributed write per round (wired from DedupeConfig.checkpoint_dir).
 
     Raises RuntimeError if labels have not converged after max_iters rounds
     (each round shrinks the worst unconverged chain by >2x, so the default 50
     covers any component with diameter < 2^50 — hitting the cap means
     something is broken, and silent wrong labels are never acceptable).
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+
     sym = edges.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     ).union(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
-    sym = sym.dropDuplicates(["src", "dst"]).localCheckpoint()
+    sym = _ckpt(sym.dropDuplicates(["src", "dst"]))
 
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("cluster_id"))
-        .localCheckpoint()
     )
 
     for _ in range(max_iters):
@@ -83,7 +95,7 @@ def connected_components(
         # join against the already-checkpointed old labels) — a separate
         # count-join job per round doubled the driver-serial job count, the
         # dominant non-scaling cost in the flagship profile
-        new_labels = (
+        new_labels = _ckpt(
             jumped.join(
                 labels.select("id", F.col("cluster_id").alias("old_label")),
                 "id",
@@ -93,7 +105,6 @@ def connected_components(
                 "cluster_id",
                 (F.col("cluster_id") != F.col("old_label")).alias("changed"),
             )
-            .localCheckpoint()
         )
         # scanning checkpointed blocks for the first changed row is a trivial
         # job (no shuffle, early exit)

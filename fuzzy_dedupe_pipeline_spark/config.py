@@ -54,6 +54,10 @@ class DedupeConfig:
     max_band_bucket: int = 5000   # cap on rows per (band, hash) bucket; larger buckets
                                   # are dropped from pair-gen and logged to metrics
     cc_max_iters: int = 50        # connected-components iteration cap
+    # reliable-checkpoint dir (HDFS/S3/local) for the CC iteration; None ->
+    # localCheckpoint (fast, but blocks die with their executor — set this on
+    # any real multi-executor cluster)
+    checkpoint_dir: str | None = None
     shuffle_partitions: int | None = None  # None -> leave session setting
 
     def __post_init__(self) -> None:

@@ -171,11 +171,28 @@ def dedupe_clusters(
     when the input is known well-partitioned (e.g. a bucketed Iceberg table).
     """
     persists: list[DataFrame] = []
-    clean = clean_docs(docs, id_col, text_col)
+    # Shuffle-payload discipline (measured: the signature cache build was the
+    # top stage, and its cost was moving corpus text, not computing on it):
+    #   * rebalance the RAW text (one corpus-text copy through the wire),
+    #     then normalize AFTER the shuffle so the regex chain runs on the
+    #     balanced layout and the un-normalized copy never shuffles again;
+    #   * original text is only ever consumed as its LENGTH (representative
+    #     ordering) — carry text_len, never cache or window-shuffle two full
+    #     text copies. The tkey window then moves (text_norm, text_len), not
+    #     (text_final, text_norm): roughly half the bytes per crossing.
+    raw = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(text_col).alias("text_final"),
+    )
     if rebalance_input:
-        clean = clean.repartition(spark.sparkContext.defaultParallelism)
+        raw = raw.repartition(spark.sparkContext.defaultParallelism)
+    clean = raw.select(
+        "id",
+        F.length("text_final").alias("text_len"),
+        normalize_text_col(F.col("text_final")).alias("text_norm"),
+    )
     # one window shuffle yields exact edges AND the rep set (see with_exact_rep)
-    keyed = with_exact_rep(clean).persist()
+    keyed = with_exact_rep(clean).drop("tkey").persist()
     persists.append(keyed)
     exact = keyed.filter(F.col("id") != F.col("rep")).select(
         F.col("rep").alias("id1"),
@@ -192,15 +209,15 @@ def dedupe_clusters(
     ).localCheckpoint()
     exact = exact.localCheckpoint()
     # narrow projection for singleton attach + representative ordering
-    ids_text = keyed.select(
-        "id", "rep", F.length("text_final").alias("text_len")
-    ).localCheckpoint()
+    ids_text = keyed.select("id", "rep", "text_len").localCheckpoint()
     # CC runs over NEAR edges only — all near endpoints are exact-reps, and
     # the rep of an exact group is its min id, so min-over-reps == min over
     # the full component: exact members inherit their rep's label by one join
     # instead of inflating the CC edge set with O(corpus) star edges
     labels = connected_components(
-        near.select("id1", "id2"), max_iters=cfg.cc_max_iters
+        near.select("id1", "id2"),
+        max_iters=cfg.cc_max_iters,
+        checkpoint_dir=cfg.checkpoint_dir,
     )
     # release every cached intermediate: all consumers below read checkpoints
     for df in persists:

@@ -23,7 +23,6 @@ are re-read from disk, so a resumed run is plan-identical to a fresh one.
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +31,7 @@ from pyspark.sql import functions as F
 from fuzzy_dedupe_pipeline_spark.canonical import cluster_output
 from fuzzy_dedupe_pipeline_spark.cc import attach_singletons, connected_components
 from fuzzy_dedupe_pipeline_spark.config import DEFAULT_CONFIG, DedupeConfig
+from fuzzy_dedupe_pipeline_spark.fs import fs_exists
 from fuzzy_dedupe_pipeline_spark.lsh import candidate_pairs
 from fuzzy_dedupe_pipeline_spark.metrics import MetricsLog, StageTimer
 from fuzzy_dedupe_pipeline_spark.minhash import with_signatures
@@ -77,7 +77,10 @@ class DedupePipeline:
         return f"{self.out_dir}/{stage}"
 
     def _done(self, stage: str) -> bool:
-        return os.path.exists(f"{self._path(stage)}/_SUCCESS")
+        # Hadoop-FS probe, not os.path: out_dir may be HDFS/S3, where a
+        # driver-local check would answer "missing" and resume would never
+        # trigger (every stage silently recomputed on every rerun)
+        return fs_exists(self.spark, f"{self._path(stage)}/_SUCCESS")
 
     def _run_stage(self, stage: str, build) -> DataFrame:
         """Compute-or-load with metrics. `build` returns the stage DataFrame."""
@@ -187,7 +190,9 @@ class DedupePipeline:
             # label (rep == min id of its exact group, so min-over-reps is
             # the component min — see dataflow.dedupe_clusters)
             labels = connected_components(
-                edges.select("id1", "id2"), max_iters=cfg.cc_max_iters
+                edges.select("id1", "id2"),
+                max_iters=cfg.cc_max_iters,
+                checkpoint_dir=cfg.checkpoint_dir,
             )
             exact_members = exact_edges.select(
                 F.col("id2").alias("id"), F.col("id1").alias("rep")

@@ -52,6 +52,14 @@ from pyspark.sql import functions as F
 from fuzzy_dedupe_pipeline_spark.cc import attach_singletons, connected_components
 from fuzzy_dedupe_pipeline_spark.config import DEFAULT_CONFIG, DedupeConfig
 from fuzzy_dedupe_pipeline_spark.dataflow import clean_docs
+from fuzzy_dedupe_pipeline_spark.fs import (
+    fs_delete,
+    fs_exists,
+    fs_list_names,
+    fs_rename,
+    fs_touch,
+    hadoop_fs,
+)
 from fuzzy_dedupe_pipeline_spark.lsh import band_table, candidate_pairs
 from fuzzy_dedupe_pipeline_spark.minhash import with_signatures
 from fuzzy_dedupe_pipeline_spark.verify import verify_pairs
@@ -78,34 +86,17 @@ class IncrementalDedupe:
         self.commits_path = f"{self.state_dir}/commits"
         self.n_label_buckets = n_label_buckets
 
-    # -- Hadoop-FS state probes (work on HDFS/S3, not just local disk) --------
-
-    def _fs(self, spark: SparkSession, path_str: str):
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path_str)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return fs, hpath
-
-    def _exists(self, spark: SparkSession, path_str: str) -> bool:
-        fs, hpath = self._fs(spark, path_str)
-        return bool(fs.exists(hpath))
-
-    def _touch(self, spark: SparkSession, path_str: str) -> None:
-        fs, hpath = self._fs(spark, path_str)
-        fs.create(hpath, True).close()
+    # -- Hadoop-FS state probes (shared helpers in fs.py; work on HDFS/S3) ----
 
     def _have_state(self, spark: SparkSession) -> bool:
         """Any batch fully committed? Our own commit markers are the signal —
         a dynamic-partition-overwrite write does NOT refresh a root _SUCCESS
         file, and a half-written labels dir (crash mid-write) must not count
         as state either."""
-        fs, hpath = self._fs(spark, self.commits_path)
-        if not fs.exists(hpath):
-            return False
-        return len(fs.listStatus(hpath)) > 0
+        return len(fs_list_names(spark, self.commits_path)) > 0
 
     def _committed(self, spark: SparkSession, batch_id: int) -> bool:
-        return self._exists(spark, f"{self.commits_path}/batch_{batch_id}")
+        return fs_exists(spark, f"{self.commits_path}/batch_{batch_id}")
 
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_label_buckets)).cast("int")
@@ -136,15 +127,11 @@ class IncrementalDedupe:
         return f"{self.state_dir}/.compact/COMMIT_{table}"
 
     def _list_batch_parts(self, spark: SparkSession, path: str) -> list[int]:
-        fs, hpath = self._fs(spark, path)
-        if not fs.exists(hpath):
-            return []
-        out = []
-        for st in fs.listStatus(hpath):
-            name = st.getPath().getName()
-            if name.startswith("batch_id="):
-                out.append(int(name.split("=", 1)[1]))
-        return out
+        return [
+            int(name.split("=", 1)[1])
+            for name in fs_list_names(spark, path)
+            if name.startswith("batch_id=")
+        ]
 
     def _compact_table(
         self, spark: SparkSession, path: str, table: str, merge_ids: list[int]
@@ -160,7 +147,7 @@ class IncrementalDedupe:
             .parquet(staging)
         )
         marker = self._compact_marker(table)
-        mfs, mpath = self._fs(spark, marker)
+        mfs, mpath = hadoop_fs(spark, marker)
         out = mfs.create(mpath, True)
         out.write(bytearray("\n".join(map(str, sorted(merge_ids))).encode()))
         out.close()
@@ -168,24 +155,20 @@ class IncrementalDedupe:
 
     def _finish_compaction(self, spark: SparkSession, path: str, table: str) -> None:
         """Steps 3-5 of the protocol; idempotent, also the crash-recovery."""
-        jvm = spark._jvm
         marker = self._compact_marker(table)
-        mfs, mpath = self._fs(spark, marker)
-        if not mfs.exists(mpath):
+        if not fs_exists(spark, marker):
             return
         merged = (
             spark.read.format("text").load(marker).toPandas()["value"].tolist()
         )
         staging = f"{self.state_dir}/.compact/{table}"
-        sfs, spath = self._fs(spark, staging)
-        fs, _ = self._fs(spark, path)
-        if sfs.exists(spath):
+        if fs_exists(spark, staging):
             for b in merged:
-                p = jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={int(b)}")
-                if fs.exists(p):
-                    fs.delete(p, True)
-            fs.rename(spath, jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id=-1"))
-        mfs.delete(mpath, False)
+                p = f"{path}/batch_id={int(b)}"
+                if fs_exists(spark, p):
+                    fs_delete(spark, p, recursive=True)
+            fs_rename(spark, staging, f"{path}/batch_id=-1")
+        fs_delete(spark, marker)
 
     def _recover_compaction(self, spark: SparkSession) -> None:
         for table, path in (("sigs", self.sigs_path), ("bands", self.bands_path)):
@@ -199,12 +182,9 @@ class IncrementalDedupe:
         spark = self.spark
         self._recover_compaction(spark)
         if watermark is None:
-            fs, hpath = self._fs(spark, self.commits_path)
-            if not fs.exists(hpath):
-                return 0
             committed = [
-                int(st.getPath().getName().split("_", 1)[1])
-                for st in fs.listStatus(hpath)
+                int(name.split("_", 1)[1])
+                for name in fs_list_names(spark, self.commits_path)
             ]
             if not committed:
                 return 0
@@ -359,7 +339,9 @@ class IncrementalDedupe:
                 )
             )
 
-        comp = connected_components(edges, max_iters=cfg.cc_max_iters)
+        comp = connected_components(
+            edges, max_iters=cfg.cc_max_iters, checkpoint_dir=cfg.checkpoint_dir
+        )
         assign = attach_singletons(sigs_new.select("id"), comp)
 
         if labels_old is not None:
@@ -432,7 +414,7 @@ class IncrementalDedupe:
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", with_dyn
             )
-        self._touch(spark, f"{self.commits_path}/batch_{batch_id}")
+        fs_touch(spark, f"{self.commits_path}/batch_{batch_id}")
         for df in persists:
             df.unpersist()
 

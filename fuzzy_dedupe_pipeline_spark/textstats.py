@@ -35,16 +35,21 @@ def token_count_col(c: Column) -> Column:
     return F.size(tokens_simple(c))
 
 
+def stopword_hits_from_tokens(toks: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) that are stopwords of `lang`,
+    off an already-tokenized array column — no re-split."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
 def stopword_hits_col(c: Column, lang: str) -> Column:
     """Count of tokens (with multiplicity) that are stopwords of `lang`."""
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens_simple(c), lambda t: F.array_contains(sw, t)))
+    return stopword_hits_from_tokens(tokens_simple(c), lang)
 
 
-def lang_id_col(c: Column) -> Column:
-    """argmax over per-language stopword hit counts; ties resolved by
-    LANG_PRIORITY order; zero hits everywhere -> 'und'."""
-    hits = {lang: stopword_hits_col(c, lang) for lang in LANG_PRIORITY}
+def _lang_argmax(hits: dict[str, Column]) -> Column:
+    """argmax over per-language hit Columns; ties resolved by LANG_PRIORITY
+    order; zero hits everywhere -> 'und'."""
     best = F.greatest(*hits.values())
     expr = F.lit("und")
     for lang in reversed(LANG_PRIORITY):
@@ -52,17 +57,69 @@ def lang_id_col(c: Column) -> Column:
     return expr
 
 
+def lang_id_col(c: Column) -> Column:
+    """Single-Column form (convenience/tests). The corpus-scan path is
+    with_lang_id: this expression tree re-splits the text once per language —
+    Catalyst does not CSE across the per-language subtrees."""
+    hits = {lang: stopword_hits_col(c, lang) for lang in LANG_PRIORITY}
+    return _lang_argmax(hits)
+
+
+def with_lang_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Corpus-scan language ID: tokenize ONCE, then per-language stopword
+    hits off the array, then the argmax off materialized hit columns.
+
+    Staged projections matter: `split` is non-cheap and referenced by all
+    four languages, so Catalyst's CollapseProject keeps the stage boundary
+    instead of inlining the regex split 4x (ditto the hit counts in the
+    argmax when-chain). One regex pass per document instead of ~5.
+    """
+    staged = df.withColumn("_toks", tokens_simple(F.col(text_col)))
+    hit_cols = {
+        lang: f"_hits_{lang}" for lang in LANG_PRIORITY
+    }
+    staged = staged.select(
+        "*",
+        *[
+            stopword_hits_from_tokens(F.col("_toks"), lang).alias(name)
+            for lang, name in hit_cols.items()
+        ],
+    )
+    hits = {lang: F.col(name) for lang, name in hit_cols.items()}
+    return staged.withColumn(out_col, _lang_argmax(hits)).drop(
+        "_toks", *hit_cols.values()
+    )
+
+
 def quality_score_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality features + composite score — the web-pipeline analog of
     heuristic quality filters (length, punctuation density, stopword ratio,
     mean token length). Pure double arithmetic, bit-identical in any ANSI
-    engine."""
+    engine.
+
+    Tokenizes once: the split / stopword-filter / punct-strip land in a
+    staged projection whose results the scoring expressions reference as
+    plain attributes (CollapseProject keeps the boundary for non-cheap
+    multiply-referenced expressions)."""
     c = F.col(text_col)
-    toks = tokens_simple(c)
-    n_tokens = F.size(toks)
-    n_chars = F.length(c)
-    sw_hits = stopword_hits_col(c, "en")
-    punct = n_chars - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9_ ]", ""))
+    staged = df.select(
+        F.col(id_col),
+        F.length(c).alias("_n_chars"),
+        tokens_simple(c).alias("_toks"),
+        (F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9_ ]", ""))).alias(
+            "_punct"
+        ),
+    ).select(
+        F.col(id_col),
+        "_n_chars",
+        "_punct",
+        F.size(F.col("_toks")).alias("_n_tokens"),
+        stopword_hits_from_tokens(F.col("_toks"), "en").alias("_sw_hits"),
+    )
+    n_chars, n_tokens = F.col("_n_chars"), F.col("_n_tokens")
+    sw_hits, punct = F.col("_sw_hits"), F.col("_punct")
     mean_tok_len = F.when(
         n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens
     ).otherwise(F.lit(0.0))
@@ -74,7 +131,7 @@ def quality_score_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc
         + F.when(stop_ratio >= 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
         + F.when(punct_ratio <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),

@@ -22,23 +22,33 @@ from fuzzy_dedupe_pipeline_spark.session import get_spark
 
 
 def main() -> None:
-    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    # arg 1: "32" (local[32]) or "4x8" (local-cluster[4 execs, 8 cores each])
+    level = sys.argv[1] if len(sys.argv) > 1 else "32"
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 120000
     bench._ensure_corpus(n_docs)
-    log_dir = f"/tmp/spark-events-{cores}-{os.getpid()}"
+    log_dir = f"/tmp/spark-events-{level}-{os.getpid()}"
     os.makedirs(log_dir, exist_ok=True)
-    spark = get_spark(
-        cores=cores,
-        shuffle_partitions=max(8, cores),
-        extra_conf={
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.dir": log_dir,
-            "spark.eventLog.compress": "false",
-            "spark.eventLog.rolling.enabled": "false",
-        },
-    )
+    conf = {
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": log_dir,
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.rolling.enabled": "false",
+    }
+    if "x" in level:
+        execs, per = (int(v) for v in level.split("x"))
+        spark = get_spark(
+            cores=per,
+            executors=execs,
+            shuffle_partitions=max(8, execs * per),
+            extra_conf=conf,
+        )
+    else:
+        cores = int(level)
+        spark = get_spark(
+            cores=cores, shuffle_partitions=max(8, cores), extra_conf=conf
+        )
     wall = bench.run_flagship(spark, warmup=True, n_docs=n_docs)
-    print(f"WALL {wall:.2f}s at local[{cores}] / {n_docs} docs", flush=True)
+    print(f"WALL {wall:.2f}s at level {level} / {n_docs} docs", flush=True)
     spark.stop()
     time.sleep(2)
     import faulthandler, traceback  # noqa: E401

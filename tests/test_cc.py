@@ -98,3 +98,29 @@ def test_random_graph(spark):
         if a != b
     ]
     _run(spark, n, edges)
+
+
+def test_reliable_checkpoint_dir_identical_labels(spark, tmp_path):
+    """checkpoint_dir swaps localCheckpoint for reliable checkpoint():
+    labels must be identical and checkpoint data must land in the dir
+    (the shipped mitigation for executor-death losing localCheckpoint
+    blocks on a real cluster)."""
+    import os
+
+    rng = np.random.default_rng(7)
+    edges = [tuple(sorted(p)) for p in rng.integers(0, 60, size=(80, 2)) if p[0] != p[1]]
+    edf = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "id1 string, id2 string"
+    )
+    base = {r.id: r.cluster_id for r in connected_components(edf).collect()}
+    ckdir = str(tmp_path / "cc_ckpt")
+    rel = {
+        r.id: r.cluster_id
+        for r in connected_components(edf, checkpoint_dir=ckdir).collect()
+    }
+    assert rel == base
+    # reliable checkpoints actually wrote RDD data under the dir
+    found = [
+        f for root, _, files in os.walk(ckdir) for f in files if f.startswith("part-")
+    ]
+    assert found, "no checkpoint blocks written to checkpoint_dir"

@@ -95,3 +95,43 @@ def test_simhash_locality(spark, corpus):
     for i in range(0, len(uniq) - 1, 2):
         rands.append(bin(rows[i].simhash ^ rows[i + 1].simhash).count("1"))
     assert np.mean(sims) < np.mean(rands) - 5, (sims, rands)
+
+
+def test_pyxxh_matches_spark(spark):
+    """pyxxh.xxh64 must be bit-identical to Spark's xxhash64 expression
+    (seed 42) — the golden-oracle generator relies on it. Covers every
+    length regime of the algorithm: empty, <4B, 4-7B, 8-31B, >=32B, plus
+    multi-byte UTF-8, an embedded NUL, and little-endian longs."""
+    import struct
+
+    from fuzzy_dedupe_pipeline_spark.pyxxh import to_i64, xxh64, xxh64_str
+
+    strings = [
+        "",
+        "a",
+        "abc",
+        "abcd",
+        "abcdefg",
+        "abcdefgh",
+        "0123456789abcdef0123456789abcde",   # 31B
+        "0123456789abcdef0123456789abcdef",  # 32B
+        "the quick brown fox jumps over the lazy dog " * 7,
+        "naïve café—ünïcödé 文字列 \U0001f986",
+        "nul\x00embedded",
+    ] + [f"fuzz-{i}-" + "x" * i for i in range(0, 70, 3)]
+    sdf = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in sdf.select("s", F.xxhash64("s").alias("h")).collect()
+    }
+    for s in strings:
+        assert got[s] == to_i64(xxh64_str(s)), repr(s)
+
+    longs = [0, 1, -1, 42, 2**31, -(2**31) - 7, 2**63 - 1, -(2**63)]
+    ldf = spark.createDataFrame([(v,) for v in longs], "v long")
+    got_l = {
+        r["v"]: r["h"]
+        for r in ldf.select("v", F.xxhash64("v").alias("h")).collect()
+    }
+    for v in longs:
+        assert got_l[v] == to_i64(xxh64(struct.pack("<q", v))), v

@@ -96,6 +96,24 @@ def test_resume_skips_and_matches(run, spark, pages_df):
     assert a.equals(b)
 
 
+def test_resume_gate_uses_hadoop_fs(spark, pages_df, tmp_path):
+    """The stage-done probe must go through the Hadoop FileSystem API, not
+    os.path: with an explicit `file:` scheme URI (the local stand-in for an
+    hdfs:/s3: out_dir), os.path.exists always answers False and resume would
+    silently recompute every stage on every rerun."""
+    out = f"file:{tmp_path}/resume_uri"
+    small = pages_df.limit(60)
+    p1 = DedupePipeline(spark, out, DedupeConfig(), run_id="u1")
+    first = p1.run(small).toPandas()
+    assert p1.recomputed != []
+    p2 = DedupePipeline(spark, out, DedupeConfig(), run_id="u2")
+    again = p2.run(small).toPandas()
+    assert p2.recomputed == []  # fails if the gate falls back to os.path
+    a = first.sort_values("url").reset_index(drop=True)
+    b = again.sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_metrics_lineage(run, spark):
     _, _, out = run
     m = spark.read.parquet(f"{out}/metrics").toPandas()
@@ -108,3 +126,50 @@ def test_metrics_lineage(run, spark):
     assert (stage_rows.duration_ms.dropna() >= 0).all()
     # per-partition lineage rows exist
     assert (m.partition_id >= 0).any()
+
+
+def test_lineage_has_no_driver_collect():
+    """Per-partition lineage must stay engine-side: at thousands of
+    stages x partitions a per-stage collect() serializes bookkeeping
+    through the driver."""
+    import inspect
+
+    from fuzzy_dedupe_pipeline_spark.metrics import MetricsLog
+
+    assert ".collect(" not in inspect.getsource(MetricsLog.log_partitions)
+
+
+def test_metrics_compact_is_crash_safe(spark, tmp_path):
+    """compact() must never overwrite the table in place: simulate the crash
+    window (snapshot written, table renamed away, swap unfinished) and check
+    the next read()/append() recovers every row."""
+    from fuzzy_dedupe_pipeline_spark.fs import fs_rename
+    from fuzzy_dedupe_pipeline_spark.metrics import MetricsLog, StageTimer
+
+    log = MetricsLog(spark, str(tmp_path / "mrun"), "r1")
+    for i in range(3):
+        log.log_stage(f"s{i}", "success", StageTimer().start, rows_out=i)
+    before = sorted(
+        (r["stage"], r["rows_out"]) for r in log.read().collect()
+    )
+
+    # crash window: snapshot complete at __compact_tmp, table at __compact_old
+    snapshot = log.read().localCheckpoint()
+    snapshot.coalesce(1).write.mode("overwrite").parquet(
+        f"{log.path}__compact_tmp"
+    )
+    fs_rename(spark, log.path, f"{log.path}__compact_old")
+
+    log2 = MetricsLog(spark, str(tmp_path / "mrun"), "r2")
+    log2.log_stage("s3", "success", StageTimer().start, rows_out=3)  # recovers
+    after = sorted((r["stage"], r["rows_out"]) for r in log2.read().collect())
+    assert after == before + [("s3", 3)]
+
+    # and a normal compact keeps every row while shrinking to one file
+    import glob
+
+    log2.compact()
+    assert sorted(
+        (r["stage"], r["rows_out"]) for r in log2.read().collect()
+    ) == after
+    assert len(glob.glob(f"{log2.path}/*.parquet")) == 1

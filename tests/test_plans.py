@@ -84,6 +84,29 @@ def test_lsh_band_join_is_equi_join(spark):
     )
 
 
+def test_cosine_blocked_is_equi_join(spark):
+    """The REGISTERED blocked cosine-pairs query must plan as an equi-join on
+    the block column — never a BroadcastNestedLoopJoin / cartesian over the
+    corpus (that is the exact baseline's explicitly-labeled role)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["cosine_dup_pairs_blocked"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_textstats_tokenize_once(spark):
+    """The corpus-wide lang_id / quality_score scans must evaluate the regex
+    tokenizer ONCE per document: the staged projections materialize the token
+    array / hit counts, and CollapseProject must not inline the split back
+    into every consumer (that was ~5 regex passes per doc)."""
+    import __spark_entry__ as entrymod
+
+    for q in ("lang_id", "quality_score"):
+        plan = _plan(entrymod.queries()[q](spark, SF))
+        assert plan.count("split(") == 1, f"{q}: {plan.count('split(')} splits"
+
+
 def test_session_scale_confs(spark):
     conf = spark.conf
     assert conf.get("spark.sql.adaptive.enabled") == "true"
