@@ -55,22 +55,44 @@ def connected_components(
     covers any component with diameter < 2^50 — hitting the cap means
     something is broken, and silent wrong labels are never acceptable).
     """
+    spark = edges.sparkSession
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
         _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+
+        # Reliable checkpoints are FILES that nothing deletes by default
+        # (spark.cleaner.referenceTracking.cleanCheckpoints only cleans after
+        # driver GC, which may never run mid-stream) — in streaming this runs
+        # per micro-batch, so without explicit cleanup the dir grows without
+        # bound. Each round's labels checkpoint is dead the moment the next
+        # round's materializes; we diff the rdd-* dirs the context writes and
+        # delete the superseded round's files.
+        from fuzzy_dedupe_pipeline_spark.fs import fs_delete, fs_list_names
+
+        ck_root = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+
+        def _rdd_dirs() -> set[str]:
+            return {
+                n for n in fs_list_names(spark, ck_root) if n.startswith("rdd-")
+            }
+
     else:
         _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+        _rdd_dirs = lambda: set()  # noqa: E731
+        ck_root = None
 
     sym = edges.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     ).union(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
     sym = _ckpt(sym.dropDuplicates(["src", "dst"]))
 
+    pre = _rdd_dirs()
     labels = _ckpt(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("cluster_id"))
     )
+    prev_label_dirs = _rdd_dirs() - pre
 
     for _ in range(max_iters):
         neighbor_min = (
@@ -95,6 +117,7 @@ def connected_components(
         # join against the already-checkpointed old labels) — a separate
         # count-join job per round doubled the driver-serial job count, the
         # dominant non-scaling cost in the flagship profile
+        pre = _rdd_dirs()
         new_labels = _ckpt(
             jumped.join(
                 labels.select("id", F.col("cluster_id").alias("old_label")),
@@ -110,6 +133,13 @@ def connected_components(
         # job (no shuffle, early exit)
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.select("id", "cluster_id")
+        # previous round's labels checkpoint is superseded — delete its files
+        # (new_labels is materialized; nothing references the old RDD's data)
+        if ck_root is not None:
+            new_dirs = _rdd_dirs() - pre
+            for d in prev_label_dirs:
+                fs_delete(spark, f"{ck_root}/{d}", recursive=True)
+            prev_label_dirs = new_dirs
         if changed == 0:
             return labels
     raise RuntimeError(

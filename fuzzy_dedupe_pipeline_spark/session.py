@@ -32,15 +32,19 @@ def get_spark(
     cores PER EXECUTOR. Each executor gets its own `executor_mem_mb` heap so
     N and 4N executors each bring their own memory, like real cluster nodes.
     """
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    env_n = int(env) if env else (os.cpu_count() or 8)
     if cores is None:
-        env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
-        n = int(env) if env else (os.cpu_count() or 8)
+        n = env_n
     else:
         master = f"local[{cores}]"
         n = cores
     if executors is not None:
-        per = cores or 8
+        # cores means cores PER EXECUTOR here; default honors $SPARK_GRAFT_CPUS
+        # exactly like the local-mode branch (a hardcoded 8 silently ignored
+        # the env var when executors was set)
+        per = cores if cores is not None else env_n
         master = f"local-cluster[{executors},{per},{executor_mem_mb}]"
         n = executors * per
     if shuffle_partitions is None:
@@ -60,6 +64,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # reliable-checkpoint RDDs (cc.py rounds) are also GC-cleaned once
+        # unreferenced; cc.py additionally deletes each round's files
+        # explicitly as soon as the next round materializes
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if executors is not None:
         # local-cluster: executor processes need the package on PYTHONPATH

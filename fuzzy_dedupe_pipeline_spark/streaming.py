@@ -146,11 +146,19 @@ class IncrementalDedupe:
             .write.mode("overwrite")
             .parquet(staging)
         )
+        # marker write must be ATOMIC: fs.create+write+close can crash midway
+        # leaving a truncated source list, and _finish_compaction would then
+        # delete only the listed sources and rename staging onto a still-
+        # existing batch_id=-1 (Hadoop rename onto an existing dir NESTS src
+        # inside dst). Write to a temp path and rename into place — file
+        # rename is atomic on HDFS and posix.
         marker = self._compact_marker(table)
-        mfs, mpath = hadoop_fs(spark, marker)
+        tmp = marker + ".tmp"
+        mfs, mpath = hadoop_fs(spark, tmp)
         out = mfs.create(mpath, True)
         out.write(bytearray("\n".join(map(str, sorted(merge_ids))).encode()))
         out.close()
+        fs_rename(spark, tmp, marker)
         self._finish_compaction(spark, path, table)
 
     def _finish_compaction(self, spark: SparkSession, path: str, table: str) -> None:
@@ -167,7 +175,18 @@ class IncrementalDedupe:
                 p = f"{path}/batch_id={int(b)}"
                 if fs_exists(spark, p):
                     fs_delete(spark, p, recursive=True)
-            fs_rename(spark, staging, f"{path}/batch_id=-1")
+            dest = f"{path}/batch_id=-1"
+            if fs_exists(spark, dest):
+                # the marker (written atomically) lists every merged source
+                # including any previous sentinel, so a surviving dest means
+                # state corruption — renaming would NEST staging inside it
+                # and duplicate rows. Refuse loudly.
+                raise RuntimeError(
+                    f"compaction: {dest} exists but is not in the marker's "
+                    f"source list ({merged}) — state is inconsistent; "
+                    "refusing to rename staging over it"
+                )
+            fs_rename(spark, staging, dest)
         fs_delete(spark, marker)
 
     def _recover_compaction(self, spark: SparkSession) -> None:
@@ -181,14 +200,19 @@ class IncrementalDedupe:
         Run between triggers (maintenance), not concurrent with a batch."""
         spark = self.spark
         self._recover_compaction(spark)
-        if watermark is None:
-            committed = [
-                int(name.split("_", 1)[1])
-                for name in fs_list_names(spark, self.commits_path)
-            ]
-            if not committed:
-                return 0
-            watermark = max(committed)
+        committed = [
+            int(name.split("_", 1)[1])
+            for name in fs_list_names(spark, self.commits_path)
+        ]
+        if not committed:
+            return 0
+        # clamp to the newest committed batch: an explicit watermark above it
+        # would fold that batch's partition into the sentinel, and a later
+        # at-least-once replay of it takes the _committed path, which reads
+        # sigs/batch_id=N directly — path-not-found would kill the stream
+        watermark = (
+            max(committed) if watermark is None else min(watermark, max(committed))
+        )
         merged = 0
         for table, path in (("sigs", self.sigs_path), ("bands", self.bands_path)):
             ids = [

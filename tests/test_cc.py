@@ -124,3 +124,28 @@ def test_reliable_checkpoint_dir_identical_labels(spark, tmp_path):
         f for root, _, files in os.walk(ckdir) for f in files if f.startswith("part-")
     ]
     assert found, "no checkpoint blocks written to checkpoint_dir"
+
+
+def test_reliable_checkpoints_are_cleaned_per_round(spark, tmp_path):
+    """Each CC round's labels checkpoint is deleted once the next round
+    materializes — otherwise the dir grows without bound when CC runs per
+    micro-batch in streaming. A 64-node chain needs ~6 pointer-jump rounds;
+    only sym + the final labels (+ at most one in-flight round) may remain."""
+    import os
+
+    n = 64
+    edf = spark.createDataFrame(
+        [(str(i).zfill(3), str(i + 1).zfill(3)) for i in range(n - 1)],
+        "id1 string, id2 string",
+    )
+    ckdir = str(tmp_path / "cc_ckpt_clean")
+    labels = connected_components(edf, checkpoint_dir=ckdir)
+    assert labels.select("cluster_id").distinct().count() == 1
+    # the context nests checkpoints under <dir>/<uuid>/rdd-*
+    rdd_dirs = [
+        d
+        for root, dirs, _ in os.walk(ckdir)
+        for d in dirs
+        if d.startswith("rdd-")
+    ]
+    assert len(rdd_dirs) <= 3, f"stale checkpoint rounds left behind: {rdd_dirs}"

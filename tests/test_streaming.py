@@ -272,6 +272,34 @@ def test_stream_state_compaction_bounds_partitions(spark, tmp_path):
     assert batch_dirs(inc.sigs_path) == ["batch_id=-1", "batch_id=5"]
 
 
+def test_compaction_watermark_clamped_to_committed(spark, tmp_path):
+    """compact_state(watermark=above newest committed) must NOT fold the
+    newest committed partition into the sentinel — a later at-least-once
+    replay of that batch reads sigs/batch_id=N directly and would die on
+    path-not-found."""
+    import os
+
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_wm"), CFG)
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(f"u:{b}", f"wholly separate page number {b} " * 25)],
+            "url string, text string",
+        )
+        inc.process_batch(df, batch_id=b)
+
+    inc.compact_state(watermark=999)  # clamped to max(committed) == 2
+    dirs = sorted(
+        d for d in os.listdir(inc.sigs_path) if d.startswith("batch_id=")
+    )
+    assert dirs == ["batch_id=-1", "batch_id=2"]
+    # replay of the newest committed batch still works
+    df2 = spark.createDataFrame(
+        [("u:2", "wholly separate page number 2 " * 25)], "url string, text string"
+    )
+    out = inc.process_batch(df2, batch_id=2)
+    assert {r["id"] for r in out.collect()} == {"u:2"}
+
+
 def test_stream_compaction_crash_recovery(spark, tmp_path):
     """A crash between the compaction marker write and the staging rename is
     finished by the next process_batch (marker protocol)."""
