@@ -330,12 +330,61 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # probing half of 8 lists: measured recall 0.72 (0.5 floor with margin)
+    # probing half of 8 lists; centroids are a seeded spherical-KMeans fit
+    # over a deterministic sample (fit_ivf_centroids): measured recall 0.80
+    # at sf0.01 (exact — the whole path is deterministic), 0.7 floor
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     approx = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4)
     exact = brute_force_topk(emb, queries, k=5, round_dp=6)
-    return _recall_gate(approx, exact, "ivf_ann_topk", 0.5)
+    return _recall_gate(approx, exact, "ivf_ann_topk", 0.7)
+
+
+def _q_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-path gate: IncrementalDedupe (streaming.py foreachBatch
+    core) over the documents corpus split into 3 deterministic micro-batches
+    must produce the SAME clustering as the batch pipeline (substring pass
+    off — the streaming path generates candidates via LSH only). Emitted as
+    one hash-checkable row (algo, n_docs, parity_ok); the DuckDB oracle pins
+    parity_ok == TRUE, so any order-dependence regression hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from fuzzy_dedupe_pipeline_spark.streaming import IncrementalDedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="stream_parity_")
+    try:
+        inc = IncrementalDedupe(spark, f"{tmp}/state", DedupeConfig())
+        clean = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+        part = F.pmod(F.xxhash64("url"), F.lit(3))
+        for b in range(3):
+            inc.process_batch(clean.filter(part == b), batch_id=b)
+        got = spark.read.parquet(inc.labels_path).select("id", "cluster_id")
+        want = dedupe_clusters(
+            spark,
+            docs,
+            DedupeConfig(),
+            id_col="doc_id",
+            text_col="text",
+            with_substring=False,
+        ).select(F.col("url").alias("id"), F.col("cluster_id").alias("want_cid"))
+        n_docs = docs.count()
+        mismatches = (
+            got.join(want, "id", "full")
+            .filter(
+                F.col("cluster_id").isNull()
+                | F.col("want_cid").isNull()
+                | (F.col("cluster_id") != F.col("want_cid"))
+            )
+            .count()
+        )
+        return spark.createDataFrame(
+            [("stream_batch_parity", n_docs, mismatches == 0)],
+            "algo string, n_docs long, parity_ok boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -363,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
+        "stream_batch_parity": _q_stream_batch_parity,
     }
 
 
@@ -608,5 +658,15 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT vec_id)::BIGINT AS n_queries,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        # self-validating parity gate: the Spark side runs the INCREMENTAL
+        # (streaming foreachBatch) dedup over 3 micro-batches and compares
+        # against the batch pipeline in-engine; the oracle pins the expected
+        # row so any divergence hash-mismatches
+        "stream_batch_parity": """
+            SELECT 'stream_batch_parity' AS algo,
+                   count(*)::BIGINT AS n_docs,
+                   TRUE AS parity_ok
+            FROM documents
         """,
     }

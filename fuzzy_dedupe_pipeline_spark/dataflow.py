@@ -13,6 +13,7 @@ remaining plan is cheap assembly over checkpointed edges.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -97,19 +98,21 @@ def dedupe_edges(
     )
     if persists is not None:
         persists.append(sigs_small)
-    # Eager, ORDERED materialization of each cached stage. Without it, one
-    # big checkpoint job materializes every branch at once and AQE runs
-    # independent query stages concurrently — stages racing for a
-    # not-yet-populated cache each recompute its full lineage (the signature
-    # UDF chain ran up to 3x in profiles). One count() per stage serializes
-    # the cache builds; each is a single cheap job against work that must
-    # happen anyway.
+    # Eager materialization of each cached stage, ordered by DEPENDENCY.
+    # Without explicit materialization, one big checkpoint job materializes
+    # every branch at once and AQE runs independent query stages concurrently
+    # — stages racing for the SAME not-yet-populated cache each recompute its
+    # full lineage (the signature UDF chain ran up to 3x in profiles). The
+    # shared upstream (sigs_small) is therefore counted FIRST; but the two
+    # pair tables below have disjoint uncached lineages over that populated
+    # cache, so their builds run CONCURRENTLY (two threads) — the cache race
+    # cannot bite, and two of the ~150 driver-serial jobs that dominate
+    # high-core runs overlap instead of queueing.
     sigs_small.count()
     lsh_pairs, _ = candidate_pairs(sigs_small, cfg, persists=persists)
     # the pair tables feed three consumers each (two end_ids branches + the
     # verify join) — persist the narrow (id1, id2) rows, not the wide inputs
     lsh_pairs = lsh_pairs.persist()
-    lsh_pairs.count()
     if persists is not None:
         persists.append(lsh_pairs)
     if with_substring:
@@ -118,11 +121,14 @@ def dedupe_edges(
         )
         sub_pairs, _ = substring_candidates(toks, cfg, persists=persists)
         sub_pairs = sub_pairs.persist()
-        sub_pairs.count()
         if persists is not None:
             persists.append(sub_pairs)
+        with ThreadPoolExecutor(2) as ex:
+            for f in [ex.submit(lsh_pairs.count), ex.submit(sub_pairs.count)]:
+                f.result()
     else:
         sub_pairs = lsh_pairs.limit(0)
+        lsh_pairs.count()
     # second signature pass over candidate endpoints only — the prefilter
     # semi-join now happens BEFORE the UDF, so verify_pairs' own prefilter
     # is redundant (the slice is already minimal). Persisted because the
@@ -201,15 +207,25 @@ def dedupe_clusters(
         F.lit("exact").alias("match_type"),
     )
     reps = keyed.filter(F.col("id") == F.col("rep")).select("id", "text_norm")
-    # eager checkpoint: materializes the whole signature->LSH->verify chain
-    # now; every later consumer reads the (small) edge table, so the heavy
-    # persisted intermediates can be released below
-    near = dedupe_edges(
-        reps, cfg, with_substring=with_substring, persists=persists
-    ).localCheckpoint()
-    exact = exact.localCheckpoint()
-    # narrow projection for singleton attach + representative ordering
-    ids_text = keyed.select("id", "rep", "text_len").localCheckpoint()
+    # materialize the shared keyed cache FIRST (the corpus-text window
+    # shuffle), then overlap the three independent downstream
+    # materializations: the heavy signature->LSH->verify chain and the two
+    # cheap narrow checkpoints all read the populated keyed cache, so the
+    # AQE unpopulated-cache race cannot bite and the small jobs hide inside
+    # the big chain's wall time instead of queueing behind it.
+    keyed.count()
+    with ThreadPoolExecutor(3) as ex:
+        f_near = ex.submit(
+            lambda: dedupe_edges(
+                reps, cfg, with_substring=with_substring, persists=persists
+            ).localCheckpoint()
+        )
+        f_exact = ex.submit(exact.localCheckpoint)
+        # narrow projection for singleton attach + representative ordering
+        f_ids = ex.submit(keyed.select("id", "rep", "text_len").localCheckpoint)
+        near = f_near.result()
+        exact = f_exact.result()
+        ids_text = f_ids.result()
     # CC runs over NEAR edges only — all near endpoints are exact-reps, and
     # the rep of an exact group is its min id, so min-over-reps == min over
     # the full component: exact members inherit their rep's label by one join

@@ -178,6 +178,63 @@ def lsh_ann_topk(
     )
 
 
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int | None = None,
+    iters: int = 25,
+) -> np.ndarray:
+    """Spherical KMeans over a deterministic corpus sample -> unit-norm
+    centroid matrix (n_lists x dim), float32.
+
+    The sample is the first `sample_n` vectors in (xxhash64(id, seed), id)
+    order — seeded and CLUSTER-SIZE INDEPENDENT, so the fit (all-numpy
+    Lloyd's on the driver: assign by max cosine, mean + renormalize) is
+    bit-identical on any executor count. Empty lists are reseeded to the
+    sample points worst-covered by the current centroids (deterministic
+    argsort). At 100 TB the sample collect is one small job; the fit itself
+    is O(sample_n x dim x n_lists) driver numpy — negligible next to the
+    corpus assignment pass."""
+    sample_n = sample_n or max(2048, 64 * n_lists)
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)), F.col("cid"))
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.vstack([np.asarray(r["cv"], dtype=np.float32) for r in rows])
+    n = np.linalg.norm(x, axis=1)
+    n[n == 0] = 1.0
+    xn = x / n[:, None]
+    rng = np.random.default_rng(seed)
+    cents = xn[rng.choice(len(xn), size=min(n_lists, len(xn)), replace=False)].copy()
+    if len(cents) < n_lists:  # degenerate tiny corpus: pad by repetition
+        cents = np.vstack([cents] * (n_lists // len(cents) + 1))[:n_lists]
+    for _ in range(iters):
+        cos = xn @ cents.T
+        assign = np.argmax(cos, axis=1)
+        new = np.zeros_like(cents)
+        np.add.at(new, assign, xn)
+        counts = np.bincount(assign, minlength=n_lists).astype(np.float32)
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort(cos.max(axis=1))[: int(empty.sum())]
+            new[empty] = xn[worst]
+            counts[empty] = 1.0
+        new /= counts[:, None]
+        nn = np.linalg.norm(new, axis=1)
+        nn[nn == 0] = 1.0
+        new /= nn[:, None]
+        if np.allclose(new, cents, atol=1e-6):
+            cents = new
+            break
+        cents = new
+    return cents.astype(np.float32)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -192,20 +249,16 @@ def ivf_topk(
     by nearest centroid; a query probes its n_probe nearest centroids and
     exact-reranks only those lists.
 
-    Centroids are a deterministic corpus sample (min-xxhash64-of-id order) —
-    seeded, cluster-size independent, and free of an iterative training job;
-    at 100 TB swap in a KMeans fit over a sample if list balance matters.
-    The list assignment is one Arrow-batched matmul per side; the probe join
-    is a plain equi-join on list_id, so Catalyst shuffles corpus vectors once
-    by list and AQE handles uneven lists.
+    Centroids come from a seeded spherical-KMeans fit over a deterministic
+    corpus sample (fit_ivf_centroids) — balanced lists and higher recall than
+    the earlier raw-sample centroids, still bit-reproducible at any cluster
+    size. The list assignment is one Arrow-batched matmul per side; the probe
+    join is a plain equi-join on list_id, so Catalyst shuffles corpus vectors
+    once by list and AQE handles uneven lists.
     """
-    cents = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)), F.col("cid"))
-        .limit(n_lists)
-        .collect()
+    cmat = fit_ivf_centroids(
+        corpus, n_lists, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    cmat = np.vstack([np.asarray(r["cv"], dtype=np.float32) for r in cents])
     cnorm = np.linalg.norm(cmat, axis=1)
     cnorm[cnorm == 0] = 1.0
 

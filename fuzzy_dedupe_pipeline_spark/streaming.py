@@ -14,26 +14,49 @@ by LSH band keys, not per-key state, so `applyInPandasWithState` (keyed state)
 is the wrong primitive.
 
 State layout under state_dir (parquet; Iceberg-table analog — at production
-scale these are Iceberg tables bucketed by band_hash and the label rewrite is
-a MERGE INTO):
-  sigs/batch_id=N/   per-batch partition (id, n_tokens, shingles, minhash, simhash)
-  bands/batch_id=N/  per-batch partition (id, band_id, band_hash) — the LSH index
-  labels/bucket=B/   (id, cluster_id) hash-bucketed by id; only buckets touched
-                     by a batch are rewritten (dynamic partition overwrite —
-                     the MERGE INTO analog), so label-commit cost is
-                     O(touched clusters), not O(all docs ever seen)
+scale these are Iceberg tables and the label rewrite is a MERGE INTO):
+  sigs/batch_id=N/bucket=B/  per-batch signatures, hash-bucketed by id so the
+                     verify pass reads ONLY buckets containing candidate
+                     endpoints (partition-pruned)
+  bands/batch_id=N/  per-batch (id, band_id, band_hash) — the LSH index; the
+                     probe is the one intentionally index-wide equi-join
+                     (Iceberg: cluster/bloom on band_hash)
+  labels/bucket=B/   (id, cluster_id) hash-bucketed by id; reads AND writes
+                     touch only buckets containing batch candidates / remapped
+                     cluster members (dynamic partition overwrite — the
+                     MERGE INTO analog)
+  clusterdir/batch_id=N/cbucket=C/  (cluster_id, bucket) membership directory,
+                     hash-bucketed by cluster_id: maps a remapped cluster to
+                     the label buckets holding its members, so a merge rewrite
+                     prunes to those buckets instead of scanning all labels
+  bloom/batch_id=N/  one row (bits binary): Bloom filter over the batch's
+                     first-seen ids; the per-trigger seen-id probe ORs these
+                     (KBs each) and confirms only Bloom-positive ids against
+                     bucket-pruned label partitions — O(batch), not O(corpus)
   commits/batch_N    high-watermark marker, written LAST
+
+Per-batch cost model (the whole point of the incremental path): every state
+READ is bounded by the batch, not the corpus — seen-id probe = Bloom sidecar
++ positive-confirm against pruned label buckets; verify signatures = buckets
+of candidate endpoints only; label rewrite = buckets listed in the cluster
+directory for remapped clusters + buckets of new ids. The only corpus-wide
+scan left is the LSH band probe itself (the index lookup), which Iceberg
+prunes with band_hash clustering + bloom filters. With n_label_buckets sized
+to the corpus (thousands at web scale; 64 default here), touched-bucket reads
+are a vanishing fraction of the store.
 
 Exactly-once: the file-source checkpoint gives at-least-once foreachBatch
 execution; this module makes replays IDEMPOTENT rather than assuming
 exactly-once:
   * a replayed batch whose commit marker exists is a pure no-op on state —
     its output rows are re-emitted by reading the stored labels
-  * sigs/bands writes go to a batch_id=N partition with overwrite, so a
-    crash-then-replay rewrites the same partition instead of appending dupes
-  * label buckets are rewritten from (stored labels + batch), a computation
-    that converges under replay even if a crash left some buckets new and
-    some old
+  * sigs/bands/bloom/clusterdir writes go to a batch_id=N partition with
+    overwrite, so a crash-then-replay rewrites the same partition instead of
+    appending dupes; the Bloom load EXCLUDES the current batch's file so a
+    half-committed attempt can't mark its own ids as seen
+  * label buckets are rewritten from (stored labels + batch); rows a crashed
+    attempt already wrote for this batch's ids are anti-joined out so the
+    fresh assignment wins exactly once
 Re-seen ids (a re-crawled URL in a later dump) are dropped before signing —
 first-seen text wins (documented policy; emit-latest would need a tombstone
 pass over sigs, an Iceberg MERGE at production scale). Within a batch,
@@ -46,6 +69,8 @@ would silently report "no state" and the store would be clobbered.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -66,6 +91,16 @@ from fuzzy_dedupe_pipeline_spark.verify import verify_pairs
 
 N_LABEL_BUCKETS = 64
 
+# Bloom sidecar: k double-hash probes over xxhash64(id, seed) pairs. The
+# filter has no false negatives (every committed id is inserted), so a
+# Bloom miss is definitively fresh; positives are confirmed against the
+# bucket-pruned label store, so false positives only cost extra bucket reads.
+_BLOOM_K = 5
+_BLOOM_SEED1 = 177
+_BLOOM_SEED2 = 178
+
+_SIG_COLS = ["id", "n_tokens", "shingles", "minhash", "simhash"]
+
 
 class IncrementalDedupe:
     """Join-against-history incremental near-dup clustering."""
@@ -76,6 +111,7 @@ class IncrementalDedupe:
         state_dir: str,
         cfg: DedupeConfig = DEFAULT_CONFIG,
         n_label_buckets: int = N_LABEL_BUCKETS,
+        bloom_bits: int = 1 << 23,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -83,8 +119,13 @@ class IncrementalDedupe:
         self.sigs_path = f"{self.state_dir}/sigs"
         self.bands_path = f"{self.state_dir}/bands"
         self.labels_path = f"{self.state_dir}/labels"
+        self.clusterdir_path = f"{self.state_dir}/clusterdir"
+        self.bloom_path = f"{self.state_dir}/bloom"
         self.commits_path = f"{self.state_dir}/commits"
         self.n_label_buckets = n_label_buckets
+        # bits must stay fixed for a store's lifetime (ORed across batches);
+        # size to ~10 bits per expected corpus doc at production scale
+        self.bloom_bits = bloom_bits
 
     # -- Hadoop-FS state probes (shared helpers in fs.py; work on HDFS/S3) ----
 
@@ -101,20 +142,204 @@ class IncrementalDedupe:
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_label_buckets)).cast("int")
 
+    # -- bounded (O(batch)) state reads --------------------------------------
+
+    def _collect_buckets(self, df: DataFrame) -> list[int]:
+        """Driver-side bucket list for partition pruning; <= n_label_buckets
+        rows, one tiny job."""
+        return sorted(int(r["bucket"]) for r in df.distinct().collect())
+
+    def _read_labels(
+        self, spark: SparkSession, buckets: list[int] | None
+    ) -> DataFrame:
+        """(id, cluster_id, bucket). buckets=None reads everything (legacy /
+        fallback only); [] is an empty frame; otherwise the bucket partition
+        filter prunes the scan to the listed partitions (plan-asserted in
+        tests/test_streaming.py)."""
+        if not fs_exists(spark, self.labels_path):
+            return spark.createDataFrame(
+                [], "id string, cluster_id string, bucket int"
+            )
+        df = spark.read.parquet(self.labels_path)
+        if buckets is None:
+            return df
+        if not buckets:
+            return df.limit(0)
+        return df.filter(F.col("bucket").isin([int(b) for b in buckets]))
+
+    def _read_sigs_old(
+        self, spark: SparkSession, batch_id: int, buckets: list[int]
+    ) -> DataFrame:
+        """Prior-batch signatures restricted to the candidate-endpoint
+        buckets (and never this batch's own half-committed partition)."""
+        df = spark.read.parquet(self.sigs_path)
+        if not buckets:
+            return df.select(*_SIG_COLS).limit(0)
+        return (
+            df.filter(
+                (F.col("batch_id") != batch_id)
+                & F.col("bucket").isin([int(b) for b in buckets])
+            ).select(*_SIG_COLS)
+        )
+
+    def _read_clusterdir(
+        self, spark: SparkSession, cbuckets: list[int]
+    ) -> DataFrame:
+        """(cluster_id, bucket) membership rows for the listed cluster-hash
+        partitions. Entries are append-only per batch and may repeat or go
+        stale after remaps — stale rows only add pruned-read buckets, never
+        wrong results."""
+        if not cbuckets or not fs_exists(spark, self.clusterdir_path):
+            return spark.createDataFrame([], "cluster_id string, bucket int")
+        return (
+            spark.read.parquet(self.clusterdir_path)
+            .filter(F.col("cbucket").isin([int(b) for b in cbuckets]))
+            .select("cluster_id", "bucket")
+        )
+
+    # -- Bloom sidecar -------------------------------------------------------
+
+    def _load_bloom(self, spark: SparkSession, exclude_batch: int):
+        """OR of all per-batch Bloom rows EXCEPT the current batch's (a crash
+        after the bloom write but before the commit marker must not make the
+        replay see its own ids as seen). None => no sidecar rows (legacy
+        store) — caller falls back to a full-label probe."""
+        if not fs_exists(spark, self.bloom_path):
+            return None
+        rows = (
+            spark.read.parquet(self.bloom_path)
+            .filter(F.col("batch_id") != exclude_batch)
+            .select("bits")
+            .collect()
+        )
+        if not rows:
+            return None
+        merged = np.zeros(self.bloom_bits // 8, dtype=np.uint8)
+        for r in rows:
+            b = np.frombuffer(r["bits"], dtype=np.uint8)
+            if b.size != merged.size:
+                raise ValueError(
+                    "bloom sidecar size mismatch — bloom_bits must stay "
+                    "fixed for a store's lifetime"
+                )
+            merged |= b
+        return merged
+
+    def _write_bloom(
+        self, spark: SparkSession, ids_df: DataFrame, batch_id: int
+    ) -> None:
+        """Distributed build: per-partition bit arrays via mapInPandas, OR'd
+        on the driver (n_partitions x bloom_bits/8 bytes), one row written."""
+        m = self.bloom_bits
+        nbytes = m // 8
+        k = _BLOOM_K
+        hashed = ids_df.select(
+            F.xxhash64(F.col("id"), F.lit(_BLOOM_SEED1)).alias("h1"),
+            F.xxhash64(F.col("id"), F.lit(_BLOOM_SEED2)).alias("h2"),
+        )
+
+        def gen(it):
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            got = False
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                got = True
+                a = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+                b = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64) | np.uint64(1)
+                with np.errstate(over="ignore"):
+                    for i in range(k):
+                        idx = (a + np.uint64(i) * b) % np.uint64(m)
+                        np.bitwise_or.at(
+                            bits,
+                            (idx >> np.uint64(3)).astype(np.int64),
+                            (
+                                np.uint8(1)
+                                << (idx & np.uint64(7)).astype(np.uint8)
+                            ).astype(np.uint8),
+                        )
+            if got:
+                yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+        merged = np.zeros(nbytes, dtype=np.uint8)
+        for r in hashed.mapInPandas(gen, "bits binary").collect():
+            merged |= np.frombuffer(r["bits"], dtype=np.uint8)
+        (
+            spark.createDataFrame([(bytearray(merged.tobytes()),)], "bits binary")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{self.bloom_path}/batch_id={batch_id}")
+        )
+
+    def _filter_fresh(
+        self, spark: SparkSession, clean: DataFrame, batch_id: int, scratch: list
+    ) -> DataFrame:
+        """First-seen-wins: drop ids already committed. Bloom-negative ids are
+        definitively fresh (no false negatives); Bloom-positive ids are
+        confirmed against ONLY the label buckets they hash into. Cost is
+        O(batch) + O(positive-bucket rows), never a corpus scan."""
+        bits = self._load_bloom(spark, exclude_batch=batch_id)
+        ids = clean.select("id")
+        if bits is None:
+            # legacy store without the sidecar: conservative full probe
+            seen = ids.join(
+                self._read_labels(spark, None).select("id"), "id", "left_semi"
+            )
+            return clean.join(seen, "id", "left_anti")
+        bc = spark.sparkContext.broadcast(bits.tobytes())
+        scratch.append(bc)
+        k = _BLOOM_K
+        m = self.bloom_bits
+
+        @F.pandas_udf("boolean")
+        def maybe_seen(h1: pd.Series, h2: pd.Series) -> pd.Series:
+            arr = np.frombuffer(bc.value, dtype=np.uint8)
+            a = h1.to_numpy(dtype=np.int64).view(np.uint64)
+            b = h2.to_numpy(dtype=np.int64).view(np.uint64) | np.uint64(1)
+            res = np.ones(a.size, dtype=bool)
+            with np.errstate(over="ignore"):
+                for i in range(k):
+                    idx = (a + np.uint64(i) * b) % np.uint64(m)
+                    res &= (
+                        arr[(idx >> np.uint64(3)).astype(np.int64)]
+                        >> (idx & np.uint64(7)).astype(np.uint8)
+                    ) & 1 == 1
+            return pd.Series(res)
+
+        maybe = (
+            ids.withColumn(
+                "h1", F.xxhash64(F.col("id"), F.lit(_BLOOM_SEED1))
+            )
+            .withColumn("h2", F.xxhash64(F.col("id"), F.lit(_BLOOM_SEED2)))
+            .filter(maybe_seen(F.col("h1"), F.col("h2")))
+            .select("id")
+            .localCheckpoint()
+        )
+        mb = self._collect_buckets(
+            maybe.select(self._bucket(F.col("id")).alias("bucket"))
+        )
+        if not mb:
+            return clean
+        seen = maybe.join(
+            self._read_labels(spark, mb).select("id"), "id", "left_semi"
+        )
+        return clean.join(seen, "id", "left_anti")
+
     # -- state compaction ----------------------------------------------------
     #
-    # sigs/ and bands/ gain one batch_id=N partition dir per micro-batch; at
-    # thousands of batches the state read cost is dominated by file listing.
-    # compact_state() rewrites all partitions STRICTLY BELOW the newest
-    # committed batch into the single sentinel partition batch_id=-1 (merging
-    # any previous sentinel). The newest committed partition is kept as-is so
-    # an at-least-once replay of the most recent batch (the only batch the
-    # stream checkpoint can replay) still finds its own partition. Iceberg
-    # mapping: rewrite_data_files + expire_snapshots.
+    # sigs/bands/bloom/clusterdir gain one batch_id=N partition dir per
+    # micro-batch; at thousands of batches the state read cost is dominated
+    # by file listing. compact_state() rewrites all partitions STRICTLY BELOW
+    # the newest committed batch into the single sentinel partition
+    # batch_id=-1 (merging any previous sentinel). The newest committed
+    # partition is kept as-is so an at-least-once replay of the most recent
+    # batch (the only batch the stream checkpoint can replay) still finds its
+    # own partition. Iceberg mapping: rewrite_data_files + expire_snapshots.
     #
     # Crash safety (marker protocol, same spirit as the commit markers):
     #   1. write consolidated rows to {state}/.compact/<table>/ (+_SUCCESS)
     #   2. write marker {state}/.compact/COMMIT_<table> listing source dirs
+    #      (to a temp file, atomically renamed into place)
     #   3. delete source partition dirs
     #   4. rename staging -> <table>/batch_id=-1
     #   5. delete marker
@@ -122,6 +347,15 @@ class IncrementalDedupe:
     # after 2 is finished by _recover_compaction() (called at the top of
     # process_batch): the marker proves staging holds the full merged set, so
     # re-running 3-5 is idempotent.
+
+    def _state_tables(self):
+        """(table, path, partition_cols) for every per-batch state table."""
+        return (
+            ("sigs", self.sigs_path, ("bucket",)),
+            ("bands", self.bands_path, ()),
+            ("bloom", self.bloom_path, ()),
+            ("clusterdir", self.clusterdir_path, ("cbucket",)),
+        )
 
     def _compact_marker(self, table: str) -> str:
         return f"{self.state_dir}/.compact/COMMIT_{table}"
@@ -134,24 +368,51 @@ class IncrementalDedupe:
         ]
 
     def _compact_table(
-        self, spark: SparkSession, path: str, table: str, merge_ids: list[int]
+        self,
+        spark: SparkSession,
+        path: str,
+        table: str,
+        merge_ids: list[int],
+        part_cols: tuple[str, ...] = (),
     ) -> None:
         staging = f"{self.state_dir}/.compact/{table}"
         parts = [f"{path}/batch_id={b}" for b in sorted(merge_ids)]
-        # read_parquet on explicit dirs drops the partition column; that is
-        # fine — the consolidated rows live under batch_id=-1 afterwards
-        (
-            spark.read.parquet(*parts)
-            .coalesce(max(1, self.n_label_buckets // 8))
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-        # marker write must be ATOMIC: fs.create+write+close can crash midway
-        # leaving a truncated source list, and _finish_compaction would then
-        # delete only the listed sources and rename staging onto a still-
-        # existing batch_id=-1 (Hadoop rename onto an existing dir NESTS src
-        # inside dst). Write to a temp path and rename into place — file
-        # rename is atomic on HDFS and posix.
+        # basePath anchors partition discovery at the table root (multiple
+        # explicit roots with nested bucket= dirs otherwise conflict); the
+        # discovered batch_id column is dropped — the consolidated rows live
+        # under batch_id=-1 afterwards
+        if table == "bloom":
+            # bloom rows OR together — the sentinel stays a single row
+            merged = np.zeros(self.bloom_bits // 8, dtype=np.uint8)
+            rows = (
+                spark.read.option("basePath", path)
+                .parquet(*parts)
+                .select("bits")
+                .collect()
+            )
+            for r in rows:
+                merged |= np.frombuffer(r["bits"], dtype=np.uint8)
+            (
+                spark.createDataFrame(
+                    [(bytearray(merged.tobytes()),)], "bits binary"
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+        else:
+            df = spark.read.option("basePath", path).parquet(*parts).drop(
+                "batch_id"
+            )
+            writer = (
+                df.repartition(*[F.col(c) for c in part_cols])
+                if part_cols
+                else df.coalesce(max(1, self.n_label_buckets // 8))
+            ).write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(staging)
+        # atomic marker (see protocol above)
         marker = self._compact_marker(table)
         tmp = marker + ".tmp"
         mfs, mpath = hadoop_fs(spark, tmp)
@@ -190,14 +451,15 @@ class IncrementalDedupe:
         fs_delete(spark, marker)
 
     def _recover_compaction(self, spark: SparkSession) -> None:
-        for table, path in (("sigs", self.sigs_path), ("bands", self.bands_path)):
+        for table, path, _pcols in self._state_tables():
             self._finish_compaction(spark, path, table)
 
     def compact_state(self, watermark: int | None = None) -> int:
-        """Merge sigs/bands partitions with batch_id < watermark (default: the
-        newest committed batch) into the batch_id=-1 sentinel. Returns the
-        number of partition dirs merged per table (0 = nothing to do).
-        Run between triggers (maintenance), not concurrent with a batch."""
+        """Merge per-batch state partitions with batch_id < watermark
+        (default: the newest committed batch) into the batch_id=-1 sentinel.
+        Returns the max number of partition dirs merged across tables
+        (0 = nothing to do). Run between triggers (maintenance), not
+        concurrent with a batch — run_stream(compact_every=K) wires this."""
         spark = self.spark
         self._recover_compaction(spark)
         committed = [
@@ -214,7 +476,7 @@ class IncrementalDedupe:
             max(committed) if watermark is None else min(watermark, max(committed))
         )
         merged = 0
-        for table, path in (("sigs", self.sigs_path), ("bands", self.bands_path)):
+        for table, path, pcols in self._state_tables():
             ids = [
                 b
                 for b in self._list_batch_parts(spark, path)
@@ -222,7 +484,7 @@ class IncrementalDedupe:
             ]
             if len(ids) <= 1:
                 continue
-            self._compact_table(spark, path, table, ids)
+            self._compact_table(spark, path, table, ids, pcols)
             merged = max(merged, len(ids))
         return merged
 
@@ -237,12 +499,13 @@ class IncrementalDedupe:
     ) -> DataFrame:
         """Returns (id, cluster_id, batch_id) for the batch docs and commits
         state. Runs on the batch DataFrame's own session (foreachBatch-safe).
-        Idempotent under at-least-once replay (see module docstring).
+        Idempotent under at-least-once replay (see module docstring); every
+        state read is bounded by the batch, not the corpus.
         """
         spark = batch_df.sparkSession
         cfg = self.cfg
         # finish any compaction a crash interrupted (no-op in the common case:
-        # two existence probes)
+        # a handful of existence probes)
         self._recover_compaction(spark)
 
         # intra-batch id collapse must be DETERMINISTIC (dropDuplicates keeps
@@ -282,25 +545,15 @@ class IncrementalDedupe:
             )
 
         persists: list[DataFrame] = []
+        scratch_bcs: list = []
         have_state = self._have_state(spark)
         if have_state:
-            labels_old = spark.read.parquet(self.labels_path).select(
-                "id", "cluster_id"
-            )
-            # exclude THIS batch's partition: a crash after the sigs write
-            # but before the commit marker must not make the replay see its
-            # own half-committed rows as "already seen" (partition-pruned
-            # filter — only older batch dirs are scanned)
-            prior_sigs = spark.read.parquet(self.sigs_path).filter(
-                F.col("batch_id") != batch_id
-            )
-            seen_ids = prior_sigs.select("id")
             # first-seen wins: a re-crawled url must not re-enter the index
             # (duplicate sig rows would self-pair in the bands join and emit
-            # conflicting label rows)
-            fresh = clean.join(seen_ids, "id", "left_anti")
+            # conflicting label rows). Bloom sidecar + pruned confirm —
+            # O(batch), replaces the full prior-sigs scan.
+            fresh = self._filter_fresh(spark, clean, batch_id, scratch_bcs)
         else:
-            labels_old = None
             fresh = clean
 
         sigs_new = with_signatures(
@@ -314,13 +567,16 @@ class IncrementalDedupe:
 
         intra, _dropped = candidate_pairs(nonempty, cfg, persists=persists)
 
+        ep_buckets: list[int] = []
         if have_state:
+            # the LSH index probe: store-side bands are the big side, the
+            # micro-batch bands broadcast. Deliberately index-wide — at
+            # production scale the Iceberg bands table is clustered on
+            # band_hash so this scan prunes too.
             bands_old = spark.read.parquet(self.bands_path).filter(
                 F.col("batch_id") != batch_id
             )
-            sigs_old = prior_sigs
-            # store-side index is the big side; broadcast the micro-batch bands
-            cross = (
+            cross_raw = (
                 bands_old.join(
                     F.broadcast(
                         bands_new.select(
@@ -329,14 +585,23 @@ class IncrementalDedupe:
                     ),
                     ["band_id", "band_hash"],
                 )
-                .select(
-                    F.least(F.col("id"), F.col("id_new")).alias("id1"),
-                    F.greatest(F.col("id"), F.col("id_new")).alias("id2"),
-                )
-                .dropDuplicates(["id1", "id2"])
+                .select(F.col("id").alias("id_old"), "id_new")
+                .dropDuplicates(["id_old", "id_new"])
+                .localCheckpoint()
+            )
+            ep_buckets = self._collect_buckets(
+                cross_raw.select(self._bucket(F.col("id_old")).alias("bucket"))
+            )
+            cross = cross_raw.select(
+                F.least(F.col("id_old"), F.col("id_new")).alias("id1"),
+                F.greatest(F.col("id_old"), F.col("id_new")).alias("id2"),
             )
             candidates = intra.union(cross).dropDuplicates(["id1", "id2"])
-            sigs_all = sigs_old.drop("batch_id").unionByName(sigs_new)
+            # verify needs old signatures ONLY for candidate endpoints —
+            # bucket-pruned read instead of the whole store
+            sigs_all = self._read_sigs_old(spark, batch_id, ep_buckets).unionByName(
+                sigs_new
+            )
         else:
             candidates = intra
             sigs_all = sigs_new
@@ -346,85 +611,122 @@ class IncrementalDedupe:
         ).select("id1", "id2")
 
         # rewrite old endpoints to their existing cluster label so min-label
-        # CC over the batch subgraph composes with the global labelling
-        if labels_old is not None:
-            l1 = labels_old.select(
+        # CC over the batch subgraph composes with the global labelling; the
+        # label lookup reads only the candidate-endpoint buckets
+        used_old_labels = None
+        if have_state:
+            labels_lookup = self._read_labels(spark, ep_buckets).select(
+                "id", "cluster_id"
+            )
+            l1 = labels_lookup.select(
                 F.col("id").alias("id1"), F.col("cluster_id").alias("c1")
             )
-            l2 = labels_old.select(
+            l2 = labels_lookup.select(
                 F.col("id").alias("id2"), F.col("cluster_id").alias("c2")
             )
-            edges = (
-                edges.join(l1, "id1", "left")
-                .join(l2, "id2", "left")
-                .select(
-                    F.coalesce("c1", F.col("id1")).alias("id1"),
-                    F.coalesce("c2", F.col("id2")).alias("id2"),
-                )
+            # checkpoint the joined edges: CC, the remap derivation and the
+            # rewrite below all read them — without materialization each
+            # would re-run the whole verify chain
+            ej = (
+                edges.join(l1, "id1", "left").join(l2, "id2", "left")
+            ).localCheckpoint()
+            edges = ej.select(
+                F.coalesce("c1", F.col("id1")).alias("id1"),
+                F.coalesce("c2", F.col("id2")).alias("id2"),
+            )
+            # the old cluster labels present in the batch subgraph — exactly
+            # the comp nodes that are not new ids, so remap derives from the
+            # batch's own edges, never from a store scan
+            used_old_labels = (
+                ej.select(F.col("c1").alias("lid"))
+                .union(ej.select(F.col("c2").alias("lid")))
+                .filter(F.col("lid").isNotNull())
+                .distinct()
             )
 
         comp = connected_components(
             edges, max_iters=cfg.cc_max_iters, checkpoint_dir=cfg.checkpoint_dir
         )
         assign = attach_singletons(sigs_new.select("id"), comp)
+        new_b = assign.withColumn(
+            "bucket", self._bucket(F.col("id"))
+        ).localCheckpoint()
 
-        if labels_old is not None:
-            # a batch doc bridging two existing clusters merges them:
-            # any old cluster label that CC relabelled propagates to the store
+        if have_state:
+            # a batch doc bridging two existing clusters merges them: any old
+            # cluster label that CC relabelled propagates to the store
             remap = (
-                comp.join(
-                    labels_old.select(
-                        F.col("cluster_id").alias("id")
-                    ).distinct(),
-                    "id",
-                )
+                comp.join(used_old_labels, comp.id == used_old_labels.lid)
                 .filter(F.col("cluster_id") != F.col("id"))
                 .select(
                     F.col("id").alias("old_cluster"),
                     F.col("cluster_id").alias("new_cluster"),
                 )
+                .localCheckpoint()
             )
-            old_b = labels_old.withColumn("bucket", self._bucket(F.col("id")))
+            # MERGE-INTO analog with bounded reads: the cluster directory
+            # (pruned to the remapped clusters' hash partitions) lists the
+            # label buckets holding their members; only those buckets plus
+            # the new ids' buckets are read and rewritten.
+            remap_cb = self._collect_buckets(
+                remap.select(self._bucket(F.col("old_cluster")).alias("bucket"))
+            )
+            member_buckets: list[int] = []
+            if remap_cb:
+                cdir = self._read_clusterdir(spark, remap_cb)
+                member_buckets = self._collect_buckets(
+                    cdir.join(
+                        remap.select(
+                            F.col("old_cluster").alias("cluster_id")
+                        ),
+                        "cluster_id",
+                        "left_semi",
+                    ).select("bucket")
+                )
+            new_buckets = self._collect_buckets(new_b.select("bucket"))
+            write_buckets = sorted(set(member_buckets) | set(new_buckets))
+            labels_touched = self._read_labels(spark, write_buckets)
             updated = (
-                old_b.join(
-                    remap, old_b.cluster_id == remap.old_cluster, "left"
+                labels_touched.join(
+                    remap, labels_touched.cluster_id == remap.old_cluster, "left"
                 )
                 .select(
                     "id",
                     F.coalesce("new_cluster", "cluster_id").alias("cluster_id"),
                     "bucket",
-                    F.col("new_cluster").isNotNull().alias("changed"),
                 )
-            )
-            new_b = assign.withColumn("bucket", self._bucket(F.col("id")))
-            # MERGE-INTO analog: rewrite ONLY buckets containing a changed or
-            # new row. Rows to write = full contents of touched buckets (a
-            # dynamic partition overwrite replaces whole partitions).
-            touched = (
-                updated.filter("changed")
-                .select("bucket")
-                .union(new_b.select("bucket"))
-                .distinct()
+                # crash-replay guard: a crashed attempt may already have
+                # committed label rows for this batch's ids — the fresh
+                # assignment wins, never duplicated
+                .join(new_b.select("id"), "id", "left_anti")
             )
             to_write = (
-                updated.join(touched, "bucket", "left_semi")
-                .select("id", "cluster_id", "bucket")
-                .unionByName(new_b.select("id", "cluster_id", "bucket"))
+                updated.unionByName(new_b.select("id", "cluster_id", "bucket"))
                 .localCheckpoint()
             )
         else:
-            to_write = (
-                assign.withColumn("bucket", self._bucket(F.col("id")))
-                .localCheckpoint()
-            )
+            to_write = new_b.select("id", "cluster_id", "bucket").localCheckpoint()
 
         # commit order: index partitions first (idempotent per-batch
         # overwrite), labels buckets next, watermark marker LAST
-        sigs_new.write.mode("overwrite").parquet(
-            f"{self.sigs_path}/batch_id={batch_id}"
+        (
+            sigs_new.withColumn("bucket", self._bucket(F.col("id")))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{self.sigs_path}/batch_id={batch_id}")
         )
         bands_new.write.mode("overwrite").parquet(
             f"{self.bands_path}/batch_id={batch_id}"
+        )
+        self._write_bloom(spark, sigs_new.select("id"), batch_id)
+        # membership directory delta: every (cluster, bucket) this batch wrote
+        (
+            to_write.select("cluster_id", "bucket")
+            .distinct()
+            .withColumn("cbucket", self._bucket(F.col("cluster_id")))
+            .write.mode("overwrite")
+            .partitionBy("cbucket")
+            .parquet(f"{self.clusterdir_path}/batch_id={batch_id}")
         )
         with_dyn = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
@@ -441,6 +743,8 @@ class IncrementalDedupe:
         fs_touch(spark, f"{self.commits_path}/batch_{batch_id}")
         for df in persists:
             df.unpersist()
+        for bc in scratch_bcs:
+            bc.unpersist()
 
         return assign.select(
             "id", "cluster_id", F.lit(batch_id).cast("long").alias("batch_id")
@@ -458,11 +762,15 @@ class IncrementalDedupe:
         text_col: str = "text",
         max_files_per_trigger: int | None = None,
         available_now: bool = True,
+        compact_every: int | None = 8,
     ):
         """readStream(parquet files) -> foreachBatch(process_batch) -> parquet
         append. available_now drains everything currently in input_dir and
         stops (the test/backfill mode); without it the query runs continuous
-        micro-batches. Returns the StreamingQuery."""
+        micro-batches. compact_every folds state partitions into the sentinel
+        after every K commits (inside foreachBatch, so never concurrent with
+        a batch) — a long-lived stream self-bounds its state file count; pass
+        None to manage compaction externally. Returns the StreamingQuery."""
         reader = self.spark.readStream.schema(schema)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -471,6 +779,8 @@ class IncrementalDedupe:
         def _fb(batch_df: DataFrame, batch_id: int) -> None:
             out = self.process_batch(batch_df, batch_id, id_col, text_col)
             out.write.mode("append").parquet(output_dir)
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                self.compact_state()
 
         writer = stream.writeStream.foreachBatch(_fb).option(
             "checkpointLocation", checkpoint_dir

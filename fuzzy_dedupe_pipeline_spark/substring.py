@@ -10,10 +10,12 @@ shared token run of length >= gram + winnow_window - 1 (default 35+16-1 = 50)
 yields at least one shared fingerprint — exactly the planted >=50-token-run
 family. Fingerprint equality is then an equi-join, like LSH bands.
 
-The rolling hash is computed in ONE vectorized pass per row using the
-invertible-multiplier prefix trick: with odd C, C^-1 exists mod 2^64, so
-  g[i] = (T[i+w] - T[i]) * C^(i+w-1),  T = cumsum(h[j] * Cinv^j)
-— all wraparound uint64 numpy ops, then a splitmix64 finalizer.
+The rolling hash runs ONCE over the flattened Arrow batch (the same
+invertible-multiplier prefix trick as minhash.gram_hashes_flat — the window
+hash sum_j h[s+j] * C^(w-1-j) is translation-invariant, so global-position
+powers give identical values to per-row powers; windows never cross row
+boundaries because starts are generated per row). Only the q-window sliding
+min + np.unique run per row, over the precomputed gram slice.
 """
 
 from __future__ import annotations
@@ -25,10 +27,47 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fuzzy_dedupe_pipeline_spark.config import DedupeConfig
-from fuzzy_dedupe_pipeline_spark.minhash import _splitmix64, _U64
+from fuzzy_dedupe_pipeline_spark.minhash import _U64, gram_hashes_flat
 
-_C = _U64(0x5DEECE66D_B)  # odd multiplier
-_C_INV = _U64(pow(int(_C), -1, 1 << 64))
+
+def batch_winnow(token_hash_rows: list, w: int, q: int) -> list[np.ndarray]:
+    """Winnowed fingerprints per row for a whole Arrow batch: one flattened
+    rolling-hash pass (all rows' gram windows at once), then the per-row
+    sliding-window min + unique over each row's precomputed gram slice."""
+    n_rows = len(token_hash_rows)
+    empty = np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(r) for r in token_hash_rows), dtype=np.int64, count=n_rows)
+    counts = np.maximum(lens - w + 1, 0)  # rows shorter than one gram emit none
+    n_windows = int(counts.sum())
+    if n_windows == 0:
+        return [empty] * n_rows
+    flat = np.concatenate(
+        [np.asarray(r, dtype=np.int64) for r in token_hash_rows]
+    ).view(_U64)
+    offsets = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    row_of_window = np.repeat(np.arange(n_rows), counts)
+    excl = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(counts[:-1], out=excl[1:])
+    intra = np.arange(n_windows, dtype=np.int64) - np.repeat(excl, counts)
+    starts = offsets[row_of_window] + intra
+    widths = np.full(n_windows, w, dtype=np.int64)
+    grams = gram_hashes_flat(flat, starts, widths)
+
+    out: list[np.ndarray] = []
+    pos = 0
+    for c in counts:
+        if c == 0:
+            out.append(empty)
+            continue
+        g = grams[pos : pos + c]
+        pos += c
+        if c <= q:
+            out.append(np.array([g.min()], dtype=_U64).view(np.int64))
+        else:
+            windows = np.lib.stride_tricks.sliding_window_view(g, q)
+            out.append(np.unique(windows.min(axis=1)).view(np.int64))
+    return out
 
 
 def make_winnow_udf(cfg: DedupeConfig):
@@ -37,31 +76,7 @@ def make_winnow_udf(cfg: DedupeConfig):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def winnow(token_hashes: pd.Series) -> pd.Series:
-        out = []
-        empty = np.empty(0, dtype=np.int64)
-        for row in token_hashes:
-            n = len(row)
-            if n < w:
-                out.append(empty)
-                continue
-            h = np.asarray(row, dtype=np.int64).view(_U64)
-            with np.errstate(over="ignore"):
-                # cinv_pow[j] == C^-j : cumprod gives C^-(j+1), shift by one C
-                cinv_pow = np.cumprod(np.full(n, _C_INV, dtype=_U64)) * _C
-                t = np.zeros(n + 1, dtype=_U64)
-                np.cumsum(h * cinv_pow, out=t[1:])
-                n_grams = n - w + 1
-                # c_pow[i] == C^(i+w-1) : cumprod gives C^(i+1), scale by C^(w-2)
-                scale = _U64(pow(int(_C), w - 2, 1 << 64)) if w >= 2 else _C_INV
-                c_pow = np.cumprod(np.full(n_grams, _C, dtype=_U64)) * scale
-                g = _splitmix64((t[w : w + n_grams] - t[:n_grams]) * c_pow)
-                if n_grams <= q:
-                    fps = np.array([g.min()], dtype=_U64)
-                else:
-                    windows = np.lib.stride_tricks.sliding_window_view(g, q)
-                    fps = np.unique(windows.min(axis=1))
-            out.append(fps.view(np.int64))
-        return pd.Series(out)
+        return pd.Series(batch_winnow(list(token_hashes), w, q))
 
     return winnow
 

@@ -79,7 +79,9 @@ def test_ivf_topk_recall_and_determinism(spark):
     want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(want & got) / len(want)
-    assert recall >= 0.5, recall  # probing half the lists on clustered data
+    # probing half the lists on clustered data; KMeans-sample centroids
+    # (fit_ivf_centroids) raised the guaranteed floor from 0.5
+    assert recall >= 0.7, recall
 
     again = {(r["query_id"], r["neighbor_id"])
              for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4).collect()}

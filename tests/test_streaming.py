@@ -322,9 +322,12 @@ def test_stream_compaction_crash_recovery(spark, tmp_path):
     ]
     staging = f"{inc.state_dir}/.compact/sigs"
     (
-        spark.read.parquet(*[f"{inc.sigs_path}/batch_id={b}" for b in ids])
-        .coalesce(1)
+        spark.read.option("basePath", inc.sigs_path)
+        .parquet(*[f"{inc.sigs_path}/batch_id={b}" for b in ids])
+        .drop("batch_id")
+        .repartition(F.col("bucket"))
         .write.mode("overwrite")
+        .partitionBy("bucket")
         .parquet(staging)
     )
     os.makedirs(f"{inc.state_dir}/.compact", exist_ok=True)
@@ -343,6 +346,118 @@ def test_stream_compaction_crash_recovery(spark, tmp_path):
     assert not os.path.exists(inc._compact_marker("sigs"))
     ids_now = {r["id"] for r in spark.read.parquet(inc.sigs_path).select("id").collect()}
     assert ids_now == {"u:0", "u:1", "u:2", "u:3"}
+
+
+def test_stream_label_reads_are_bucket_pruned(spark, tmp_path, monkeypatch):
+    """The O(batch) contract: every label read in a micro-batch goes through
+    the pruned reader with an explicit bucket list (never a full-store scan),
+    and the pruned read's physical plan carries a bucket partition filter."""
+    from fuzzy_dedupe_pipeline_spark import streaming as st
+
+    base = (
+        "quantum raven sunset meadow glacier ember willow thunder canyon "
+        "harbor falcon prairie summit lantern compass "
+    ) * 8
+    rows0 = [(f"u:{i:02d}", f"wholly distinct page number {i} content " * 20) for i in range(12)]
+    rows0.append(("u:base", base + "ending one"))
+    b0 = spark.createDataFrame(rows0, "url string, text string")
+    b1 = spark.createDataFrame(
+        [("u:zz-new", base + "ending two")], "url string, text string"
+    )
+    inc = IncrementalDedupe(
+        spark, str(tmp_path / "state_pr"), CFG, n_label_buckets=16
+    )
+    inc.process_batch(b0, batch_id=0)
+
+    calls: list = []
+    orig = st.IncrementalDedupe._read_labels
+
+    def spy(self, spark_, buckets):
+        calls.append(buckets)
+        return orig(self, spark_, buckets)
+
+    monkeypatch.setattr(st.IncrementalDedupe, "_read_labels", spy)
+    inc.process_batch(b1, batch_id=1)
+    assert calls, "label reads did not go through the pruned reader"
+    assert all(b is not None for b in calls), f"full-store label scan: {calls}"
+    assert all(len(b) < 16 for b in calls), f"unpruned bucket lists: {calls}"
+
+    # the pruned read's plan prunes at the partition level
+    df = inc._read_labels(spark, [0, 1])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in pf
+
+    # and the result is still correct: the near-dup clustered with its twin
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in spark.read.parquet(inc.labels_path).collect()
+    }
+    assert labels["u:zz-new"] == labels["u:base"]
+
+
+def test_crash_replay_no_duplicate_label_rows(spark, tmp_path):
+    """A crash after the LABEL write but before the commit marker leaves the
+    batch's rows in the store; the replay must not duplicate them (the fresh
+    assignment wins exactly once)."""
+    import os
+
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_dup"), CFG)
+    b0 = spark.createDataFrame(
+        [("u:a", "first page entirely its own words " * 20)],
+        "url string, text string",
+    )
+    inc.process_batch(b0, batch_id=0)
+    b1 = spark.createDataFrame(
+        [("u:b", "second page with different content " * 20)],
+        "url string, text string",
+    )
+    inc.process_batch(b1, batch_id=1)
+    os.remove(f"{inc.commits_path}/batch_1")  # crash before the marker
+    inc.process_batch(b1, batch_id=1)  # replay
+    labels = spark.read.parquet(inc.labels_path)
+    dup_ids = labels.groupBy("id").count().filter("count > 1").count()
+    assert dup_ids == 0
+    assert labels.count() == 2
+
+
+def test_run_stream_auto_compacts(spark, tmp_path):
+    """A long-lived stream self-bounds its state: run_stream(compact_every=2)
+    over six single-file micro-batches must end with only the sentinel + the
+    newest committed partition per state table, with all labels intact."""
+    import os
+
+    indir = str(tmp_path / "ac_in")
+    schema = "url string, text string"
+    for b in range(6):
+        (
+            spark.createDataFrame(
+                [(f"u:{b}", f"independent page about topic {b} " * 25)], schema
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(indir)
+        )
+    inc = IncrementalDedupe(spark, str(tmp_path / "ac_state"), CFG)
+    q = inc.run_stream(
+        indir,
+        spark.read.parquet(indir).schema,
+        str(tmp_path / "ac_out"),
+        str(tmp_path / "ac_ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+        compact_every=2,
+    )
+    q.awaitTermination(600)
+
+    def batch_dirs(path):
+        return sorted(d for d in os.listdir(path) if d.startswith("batch_id="))
+
+    assert batch_dirs(inc.sigs_path) == ["batch_id=-1", "batch_id=5"]
+    assert batch_dirs(inc.bands_path) == ["batch_id=-1", "batch_id=5"]
+    labels = spark.read.parquet(inc.labels_path)
+    assert labels.select("id").distinct().count() == 6
+    assert labels.count() == 6
 
 
 def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
