@@ -289,11 +289,11 @@ def _write_baseline_md() -> None:
         "configuration, alternating levels across cycles so interference",
         "windows hit both equally, pooling runs across invocations; every",
         "raw run is listed below. Min-of-N is the standard robust estimator",
-        "of machine capability under asymmetric noise. The run pool was",
-        "RESET at the round-3 engine revision (cache-resident chunked",
-        "MinHash lanes, raw-text-once shuffle layout, text_len instead of a",
-        "second cached text copy); the round-2-engine pool is archived in",
-        "BENCH/runs_480000_round2_engine.json. Levels `NxC` run",
+        "of machine capability under asymmetric noise. The run pool is",
+        "RESET at every engine revision (latest: round 4 — concurrent",
+        "cache builds, vectorized winnow); prior-engine pools are archived",
+        "as BENCH/runs_*_round{2,3}_engine.json so minima are never",
+        "compared across engines. Levels `NxC` run",
         "local-cluster[N,C] — N separate executor JVMs with their own heaps",
         "and Python worker pools, shuffle over loopback netty — the",
         "closest this sandbox gets to N real executors (north-rule N->4N",
@@ -328,6 +328,16 @@ def _write_baseline_md() -> None:
         "ordered cache builds, AQE query stages, CC fixpoint rounds) to stay",
         "amortized. Identical input within every pair.",
         "",
+    ]
+    # the per-round interpretation lives in BENCH/INTERPRETATION.md (edited
+    # by hand each round) so regenerating the tables never clobbers it
+    if os.path.exists("BENCH/INTERPRETATION.md"):
+        with open("BENCH/INTERPRETATION.md") as f:
+            lines.append(f.read())
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write("\n".join(lines))
+        return
+    lines += [
         "Measured interpretation (round 3):",
         "* The round-3 profile found the signature stage was MEMORY-BOUND,",
         "  not CPU-bound: per-task time barely dropped when rows-per-task",

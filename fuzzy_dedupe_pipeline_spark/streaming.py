@@ -529,10 +529,16 @@ class IncrementalDedupe:
             # partition — joining ALL clean ids against labels would re-emit
             # rows the original run never produced (extra rows in an
             # at-least-once downstream sink).
-            batch_ids = spark.read.parquet(
-                f"{self.sigs_path}/batch_id={batch_id}"
-            ).select("id")
-            labels = spark.read.parquet(self.labels_path)
+            batch_part = f"{self.sigs_path}/batch_id={batch_id}"
+            batch_ids = spark.read.parquet(batch_part).select("id")
+            # the batch's label buckets are literally the sigs partition's
+            # bucket= dir names — prune the label read without running a job
+            buckets = [
+                int(n.split("=", 1)[1])
+                for n in fs_list_names(spark, batch_part)
+                if n.startswith("bucket=")
+            ]
+            labels = self._read_labels(spark, buckets or None)
             return (
                 clean.select("id")
                 .join(batch_ids, "id", "left_semi")
