@@ -23,7 +23,11 @@ from fuzzy_dedupe_pipeline_spark.canonical import cluster_output
 from fuzzy_dedupe_pipeline_spark.cc import attach_singletons, connected_components
 from fuzzy_dedupe_pipeline_spark.config import DEFAULT_CONFIG, DedupeConfig
 from fuzzy_dedupe_pipeline_spark.lsh import candidate_pairs
-from fuzzy_dedupe_pipeline_spark.minhash import simhash_similarity_col, with_signatures
+from fuzzy_dedupe_pipeline_spark.minhash import (
+    simhash_similarity_col,
+    with_signatures,
+    with_simhash,
+)
 from fuzzy_dedupe_pipeline_spark.normalize import normalize_text_col, tokens_raw_col
 from fuzzy_dedupe_pipeline_spark.substring import substring_candidates
 from fuzzy_dedupe_pipeline_spark.verify import verify_pairs
@@ -269,13 +273,17 @@ def simhash_near_dup_pairs(
     web scale: boilerplate-dominated corpora collapse many docs onto one
     simhash). The default cap (5000) is far above any sandbox bucket, so
     oracle parity at sf0.01 is unaffected.
+
+    Signature stage uses the simhash-only UDF (with_simhash): identical
+    fingerprints, but the 128 MinHash lanes this query never reads are not
+    computed and no shingle/minhash arrays cross the Arrow boundary.
     """
-    sigs = with_signatures(
+    sigs = with_simhash(
         clean.select(F.col("id").alias("url"), "text_norm"),
         cfg,
         id_col="url",
         text_col="text_norm",
-    ).filter(F.size("shingles") > 0)
+    ).filter(F.col("n_shingles") > 0)
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     mask = (1 << width) - 1

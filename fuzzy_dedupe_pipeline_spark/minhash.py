@@ -233,6 +233,99 @@ def make_signature_udf(cfg: DedupeConfig):
     return signature
 
 
+def make_simhash_udf(cfg: DedupeConfig):
+    """Arrow UDF: token-hash array -> (n_shingles int, simhash long).
+
+    The simhash-only projection of make_signature_udf: identical shingle sets
+    (batch_shingle_sets, same k) and the identical per-bit majority vote, with
+    the 128-lane MinHash loop skipped AND the Arrow payload reduced to 12
+    bytes/row (no shingle or minhash arrays cross the Arrow boundary).
+    Callers that need only the fingerprint — simhash_near_dup_pairs bands on
+    (chunk_id, chunk_val) and re-reads nothing else — pay for only the
+    fingerprint. Bit votes are chunked to L2 like the full UDF, so the stage
+    stays CPU-bound at high core counts.
+    """
+    k = cfg.shingle_k
+    ret = T.StructType(
+        [
+            T.StructField("n_shingles", T.IntegerType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    @F.pandas_udf(ret)
+    def simhash_sig(token_hashes: pd.Series) -> pd.DataFrame:
+        rows = list(token_hashes)
+        n_rows = len(rows)
+        shingle_rows = batch_shingle_sets(rows, k)
+        lens = np.fromiter((len(s) for s in shingle_rows), dtype=np.int64, count=n_rows)
+        packed = np.zeros(n_rows, dtype=_U64)
+        total = int(lens.sum())
+        if total:
+            flat = np.concatenate(shingle_rows).view(_U64)
+            offsets = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            cum = np.cumsum(lens)
+            CHUNK = 1 << 15
+            with np.errstate(over="ignore"):
+                r0 = 0
+                while r0 < n_rows:
+                    base = cum[r0 - 1] if r0 else 0
+                    r1 = int(np.searchsorted(cum, base + CHUNK, side="left")) + 1
+                    r1 = min(max(r1, r0 + 1), n_rows)
+                    lens_c = lens[r0:r1]
+                    ne_c = lens_c > 0
+                    if not ne_c.any():
+                        r0 = r1
+                        continue
+                    fchunk = flat[base : base + int(lens_c.sum())]
+                    rel_off = (offsets[r0:r1] - base)[ne_c]
+                    ne_lens = lens_c[ne_c].view(_U64)
+                    packed_ne = np.zeros(rel_off.size, dtype=_U64)
+                    for b in range(64):
+                        ones = np.add.reduceat(
+                            (fchunk >> _U64(b)) & _U64(1), rel_off
+                        )
+                        packed_ne |= (ones * _U64(2) > ne_lens).astype(_U64) << _U64(b)
+                    packed[np.arange(r0, r1)[ne_c]] = packed_ne
+                    r0 = r1
+        return pd.DataFrame(
+            {
+                "n_shingles": lens.astype(np.int32),
+                "simhash": packed.view(np.int64),
+            }
+        )
+
+    return simhash_sig
+
+
+def with_simhash(
+    pages: DataFrame,
+    cfg: DedupeConfig,
+    id_col: str = "url",
+    text_col: str = "text_norm",
+    pre_normalized: bool = True,
+) -> DataFrame:
+    """id, n_shingles, simhash — the narrow twin of with_signatures for
+    consumers that never touch minhash/shingles (see make_simhash_udf)."""
+    sig_udf = make_simhash_udf(cfg)
+    toks = tokens_raw_col(F.col(text_col)) if pre_normalized else tokens_col(
+        F.col(text_col)
+    )
+    return (
+        pages.select(
+            F.col(id_col).alias("id"),
+            token_hashes_col(toks).alias("token_hashes"),
+        )
+        .withColumn("sig", sig_udf(F.col("token_hashes")))
+        .select(
+            "id",
+            F.col("sig.n_shingles").alias("n_shingles"),
+            F.col("sig.simhash").alias("simhash"),
+        )
+    )
+
+
 def with_signatures(
     pages: DataFrame,
     cfg: DedupeConfig,

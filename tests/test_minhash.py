@@ -135,3 +135,24 @@ def test_pyxxh_matches_spark(spark):
     }
     for v in longs:
         assert got_l[v] == to_i64(xxh64(struct.pack("<q", v))), v
+
+
+def test_simhash_only_udf_matches_full(spark, corpus):
+    """with_simhash is a pure projection of with_signatures: identical
+    (n_shingles, simhash) on every doc, including empty/short ones."""
+    from fuzzy_dedupe_pipeline_spark.minhash import with_simhash
+
+    df = spark.createDataFrame(
+        [(r.url, oracle.normalize_text(r.text)) for r in corpus.pages.itertuples()]
+        + [("zz_empty", ""), ("zz_short", "one two")],
+        "url string, text_norm string",
+    )
+    full = {
+        r.id: (len(r.shingles), r.simhash)
+        for r in with_signatures(df, CFG).collect()
+    }
+    narrow = {
+        r.id: (r.n_shingles, r.simhash)
+        for r in with_simhash(df, CFG).collect()
+    }
+    assert narrow == full
