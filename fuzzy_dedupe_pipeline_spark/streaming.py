@@ -53,7 +53,10 @@ exactly-once:
   * sigs/bands/bloom/clusterdir writes go to a batch_id=N partition with
     overwrite, so a crash-then-replay rewrites the same partition instead of
     appending dupes; the Bloom load EXCLUDES the current batch's file so a
-    half-committed attempt can't mark its own ids as seen
+    half-committed attempt can't mark its own ids as seen — and because the
+    seen-confirm reads the LABEL store (which a crashed attempt writes before
+    the marker), ids in the batch's own sigs partition are anti-joined out of
+    the seen set too, so a replay re-signs what the crash half-committed
   * label buckets are rewritten from (stored labels + batch); rows a crashed
     attempt already wrote for this batch's ids are anti-joined out so the
     fresh assignment wins exactly once
@@ -202,9 +205,22 @@ class IncrementalDedupe:
     def _load_bloom(self, spark: SparkSession, exclude_batch: int):
         """OR of all per-batch Bloom rows EXCEPT the current batch's (a crash
         after the bloom write but before the commit marker must not make the
-        replay see its own ids as seen). None => no sidecar rows (legacy
-        store) — caller falls back to a full-label probe."""
+        replay see its own ids as seen). None => the sidecar is absent OR
+        incomplete — caller falls back to a full-label probe.
+
+        Completeness check: a pre-sidecar (legacy) store that keeps running
+        under this code gains bloom rows for NEW batches only; trusting that
+        partial filter would pass old ids as Bloom-negative ("definitively
+        fresh") and re-enter them into the index. The bloom is usable only if
+        every sigs batch partition (the authoritative committed set; sentinel
+        included, since compaction merges tables in lockstep) has a matching
+        bloom partition — the current batch's own partition exempted (it is
+        excluded from the OR anyway)."""
         if not fs_exists(spark, self.bloom_path):
+            return None
+        sig_parts = set(self._list_batch_parts(spark, self.sigs_path))
+        bloom_parts = set(self._list_batch_parts(spark, self.bloom_path))
+        if not (sig_parts - {exclude_batch}) <= bloom_parts:
             return None
         rows = (
             spark.read.parquet(self.bloom_path)
@@ -271,20 +287,44 @@ class IncrementalDedupe:
             .parquet(f"{self.bloom_path}/batch_id={batch_id}")
         )
 
+    def _own_attempt_ids(
+        self, spark: SparkSession, batch_id: int
+    ) -> DataFrame | None:
+        """Ids a CRASHED attempt of this batch already signed (the batch's own
+        sigs partition; sigs commit first, so whenever a crashed attempt got
+        far enough to write label rows this partition exists and contains
+        exactly the ids it labelled). None = no prior attempt."""
+        own = f"{self.sigs_path}/batch_id={batch_id}"
+        if not fs_exists(spark, own):
+            return None
+        return spark.read.parquet(own).select("id")
+
     def _filter_fresh(
         self, spark: SparkSession, clean: DataFrame, batch_id: int, scratch: list
     ) -> DataFrame:
         """First-seen-wins: drop ids already committed. Bloom-negative ids are
         definitively fresh (no false negatives); Bloom-positive ids are
         confirmed against ONLY the label buckets they hash into. Cost is
-        O(batch) + O(positive-bucket rows), never a corpus scan."""
+        O(batch) + O(positive-bucket rows), never a corpus scan.
+
+        The confirm reads the LABEL store, which — unlike the bloom sidecar,
+        whose load excludes this batch's row — may already hold rows a crashed
+        attempt of THIS batch wrote (labels commit before the marker). Those
+        ids must not be dropped as "seen": the replay has to re-sign them or
+        their output rows are lost and their stale labels never converge. The
+        batch's own sigs partition identifies exactly those rows (sigs commit
+        before labels), so its ids are anti-joined out of the seen set in both
+        probe paths — an O(batch) read that only exists after a crash."""
         bits = self._load_bloom(spark, exclude_batch=batch_id)
         ids = clean.select("id")
+        own_ids = self._own_attempt_ids(spark, batch_id)
         if bits is None:
             # legacy store without the sidecar: conservative full probe
             seen = ids.join(
                 self._read_labels(spark, None).select("id"), "id", "left_semi"
             )
+            if own_ids is not None:
+                seen = seen.join(own_ids, "id", "left_anti")
             return clean.join(seen, "id", "left_anti")
         bc = spark.sparkContext.broadcast(bits.tobytes())
         scratch.append(bc)
@@ -323,6 +363,8 @@ class IncrementalDedupe:
         seen = maybe.join(
             self._read_labels(spark, mb).select("id"), "id", "left_semi"
         )
+        if own_ids is not None:
+            seen = seen.join(own_ids, "id", "left_anti")
         return clean.join(seen, "id", "left_anti")
 
     # -- state compaction ----------------------------------------------------
@@ -476,13 +518,24 @@ class IncrementalDedupe:
             max(committed) if watermark is None else min(watermark, max(committed))
         )
         merged = 0
+        sigs_ids: set[int] = set()
         for table, path, pcols in self._state_tables():
             ids = [
                 b
                 for b in self._list_batch_parts(spark, path)
                 if b == -1 or b < watermark
             ]
+            if table == "sigs":
+                sigs_ids = set(ids)
             if len(ids) <= 1:
+                continue
+            if table == "bloom" and set(ids) != sigs_ids:
+                # an INCOMPLETE sidecar (store predates it, or it was deleted
+                # and rebuilt from a later batch) must stay visibly
+                # incomplete: merging it into a sentinel would make its
+                # partition list match sigs' and launder the gap past
+                # _load_bloom's completeness check, silently re-admitting
+                # old ids as "definitively fresh"
                 continue
             self._compact_table(spark, path, table, ids, pcols)
             merged = max(merged, len(ids))

@@ -396,6 +396,101 @@ def test_stream_label_reads_are_bucket_pruned(spark, tmp_path, monkeypatch):
     assert labels["u:zz-new"] == labels["u:base"]
 
 
+def test_crash_replay_bloom_positive_ids_not_dropped(spark, tmp_path):
+    """A crashed attempt writes the batch's label rows before the marker; on
+    replay the seen-id probe must not count those rows as 'already seen' —
+    otherwise the batch's docs are never re-signed and their output rows are
+    silently lost. A SATURATED 8-bit Bloom (40 ids x 5 probes; saturation
+    asserted below) makes every id Bloom-positive, forcing the label-confirm
+    path that a real false positive would take; the fix anti-joins ids from
+    the batch's own sigs partition out of the seen set."""
+    import os
+
+    inc = IncrementalDedupe(
+        spark, str(tmp_path / "state_bp"), CFG, bloom_bits=8
+    )
+    b0 = spark.createDataFrame(
+        [(f"u:fill{i}", f"filler page number {i} with its own words " * 20)
+         for i in range(40)],
+        "url string, text string",
+    )
+    inc.process_batch(b0, batch_id=0)
+    # precondition: the sidecar is saturated, so ANY id is Bloom-positive
+    bits = spark.read.parquet(f"{inc.bloom_path}/batch_id=0").collect()
+    assert bytes(bits[0]["bits"]) == b"\xff"
+    b1 = spark.createDataFrame(
+        [("u:new", "a genuinely fresh page of novel words " * 20)],
+        "url string, text string",
+    )
+    inc.process_batch(b1, batch_id=1)
+    os.remove(f"{inc.commits_path}/batch_1")  # crash before the marker
+    out = inc.process_batch(b1, batch_id=1)  # replay
+    assert {r["id"] for r in out.collect()} == {"u:new"}
+    labels = spark.read.parquet(inc.labels_path)
+    assert labels.filter(F.col("id") == "u:new").count() == 1
+
+
+def test_crash_replay_legacy_probe_ids_not_dropped(spark, tmp_path):
+    """Same hazard on a store WITHOUT the bloom sidecar (the conservative
+    full-label probe): the crashed attempt's label rows must not drop the
+    replayed batch's ids."""
+    import os
+    import shutil
+
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_lp"), CFG)
+    b0 = spark.createDataFrame(
+        [("u:a", "first page entirely its own words " * 20)],
+        "url string, text string",
+    )
+    inc.process_batch(b0, batch_id=0)
+    b1 = spark.createDataFrame(
+        [("u:b", "second page with different content " * 20)],
+        "url string, text string",
+    )
+    inc.process_batch(b1, batch_id=1)
+    os.remove(f"{inc.commits_path}/batch_1")  # crash before the marker
+    shutil.rmtree(inc.bloom_path)  # legacy store: no sidecar
+    out = inc.process_batch(b1, batch_id=1)  # replay
+    assert {r["id"] for r in out.collect()} == {"u:b"}
+    labels = spark.read.parquet(inc.labels_path)
+    assert labels.filter(F.col("id") == "u:b").count() == 1
+
+    # the replay rebuilt a bloom row for batch 1 ONLY — an INCOMPLETE sidecar
+    # (batch 0's ids absent). Trusting it would pass re-seen u:a as
+    # Bloom-negative = "definitively fresh" and re-enter it into the index;
+    # _load_bloom must detect the sigs/bloom partition mismatch and fall
+    # back to the full-label probe.
+    b2 = spark.createDataFrame(
+        [("u:a", "first page entirely its own words " * 20)],
+        "url string, text string",
+    )
+    out2 = inc.process_batch(b2, batch_id=2)
+    assert out2.count() == 0  # re-seen id dropped, first-seen wins
+    sigs = spark.read.parquet(inc.sigs_path)
+    assert sigs.filter(F.col("id") == "u:a").count() == 1
+
+    # compaction must not launder the gap: merging the partial bloom into a
+    # sentinel would make its partition list match sigs' again (both end as
+    # {-1, newest}) and slip past the completeness check. Batch 3 makes the
+    # bloom's merge-eligible set {1, 2} vs sigs' {0, 1, 2} — the compaction
+    # guard must leave bloom unmerged — then re-seen u:b must STILL be
+    # dropped afterwards.
+    b3 = spark.createDataFrame(
+        [("u:c", "third page bringing yet more novel words " * 20)],
+        "url string, text string",
+    )
+    inc.process_batch(b3, batch_id=3)
+    inc.compact_state()
+    b4 = spark.createDataFrame(
+        [("u:b", "second page with different content " * 20)],
+        "url string, text string",
+    )
+    out4 = inc.process_batch(b4, batch_id=4)
+    assert out4.count() == 0
+    sigs = spark.read.parquet(inc.sigs_path)
+    assert sigs.filter(F.col("id") == "u:b").count() == 1
+
+
 def test_crash_replay_no_duplicate_label_rows(spark, tmp_path):
     """A crash after the LABEL write but before the commit marker leaves the
     batch's rows in the store; the replay must not duplicate them (the fresh
