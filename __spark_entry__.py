@@ -331,13 +331,16 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probing half of 8 lists; centroids are a seeded spherical-KMeans fit
-    # over a deterministic sample (fit_ivf_centroids): measured recall 0.80
-    # at sf0.01 (exact — the whole path is deterministic), 0.7 floor
+    # over a deterministic sample (fit_ivf_centroids). The whole path is
+    # deterministic, so measured recall is exact: 0.80 at sf0.01 and 0.78 at
+    # sf0.001 (the two corpora this gate runs on — driver compare and
+    # test_each_query_runs). Floor 0.75 = min measured minus a 0.03 guard
+    # (round-5 tightening from 0.7 so regressions can't hide in the slack).
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     approx = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4)
     exact = brute_force_topk(emb, queries, k=5, round_dp=6)
-    return _recall_gate(approx, exact, "ivf_ann_topk", 0.7)
+    return _recall_gate(approx, exact, "ivf_ann_topk", 0.75)
 
 
 def _q_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,6 +390,50 @@ def _q_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode gate: the REAL PPM/WAV decode path (pure-numpy
+    builtin_decode, multimodal.py) run through the Spark mapInPandas plumbing
+    must reproduce — bit-exactly — the features computed directly on the
+    driver over the identical deterministic payloads, pinning the Arrow
+    binary round-trip, batch shape, and FEATURE_SCHEMA. Emitted as one
+    hash-checkable row (algo, n_media, decode_ok); the DuckDB oracle pins the
+    expected row, so any decode/plumbing regression hash-mismatches.
+    (sf_dir unused: the media table is synthesized deterministically —
+    the testdata has no binary columns.)"""
+    import numpy as np
+
+    from fuzzy_dedupe_pipeline_spark.multimodal import (
+        builtin_decode,
+        extract_features,
+        synth_real_media,
+    )
+
+    n = 32
+    media = synth_real_media(spark, n=n, seed=42)
+    feats = {
+        int(r["media_id"]): (
+            int(r["n_bytes"]),
+            np.array(r["feature"], dtype=np.float32),
+        )
+        for r in extract_features(media, decoder=builtin_decode).collect()
+    }
+    ok = len(feats) == n
+    for r in media.select("media_id", "media_type", "payload").collect():
+        payload = bytes(r["payload"])
+        want = builtin_decode(payload, r["media_type"])
+        got_n, got = feats.get(int(r["media_id"]), (None, None))
+        ok = (
+            ok
+            and got is not None
+            and got_n == len(payload)
+            and np.array_equal(got, want)
+        )
+    return spark.createDataFrame(
+        [("multimodal_decode_gate", len(feats), bool(ok))],
+        "algo string, n_media long, decode_ok boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -413,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "stream_batch_parity": _q_stream_batch_parity,
+        "multimodal_decode_gate": _q_multimodal_gate,
     }
 
 
@@ -668,5 +716,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs,
                    TRUE AS parity_ok
             FROM documents
+        """,
+        # self-validating decode gate: the Spark side decodes deterministic
+        # PPM/WAV payloads through mapInPandas and compares bit-exactly
+        # against a direct driver-side decode of the same payloads; the
+        # oracle pins the expected row
+        "multimodal_decode_gate": """
+            SELECT 'multimodal_decode_gate' AS algo,
+                   CAST(32 AS BIGINT) AS n_media,
+                   TRUE AS decode_ok
         """,
     }

@@ -65,34 +65,41 @@ def connected_components(
         # driver GC, which may never run mid-stream) — in streaming this runs
         # per micro-batch, so without explicit cleanup the dir grows without
         # bound. Each round's labels checkpoint is dead the moment the next
-        # round's materializes; we diff the rdd-* dirs the context writes and
-        # delete the superseded round's files.
-        from fuzzy_dedupe_pipeline_spark.fs import fs_delete, fs_list_names
+        # round's materializes; we resolve the EXACT rdd-N dir backing each
+        # checkpointed DataFrame (its analyzed plan is a LogicalRDD over a
+        # ReliableCheckpointRDD) and delete only that — diffing the context's
+        # shared checkpoint dir would also capture (and destroy) checkpoints
+        # a concurrent job on the same SparkContext wrote between listings.
+        from fuzzy_dedupe_pipeline_spark.fs import fs_delete
 
-        ck_root = spark.sparkContext._jsc.sc().getCheckpointDir().get()
-
-        def _rdd_dirs() -> set[str]:
-            return {
-                n for n in fs_list_names(spark, ck_root) if n.startswith("rdd-")
-            }
+        def _ckpt_file(df: DataFrame) -> str | None:
+            """The checkpoint dir of df's backing RDD; None if unresolvable
+            (unexpected plan shape) — then the file is simply left for the
+            GC-based cleaner instead of risking a wrong delete."""
+            try:
+                opt = (
+                    df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+                )
+                return opt.get() if opt.isDefined() else None
+            except Exception:
+                return None
 
     else:
         _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
-        _rdd_dirs = lambda: set()  # noqa: E731
-        ck_root = None
+        _ckpt_file = lambda df: None  # noqa: E731
+        fs_delete = None
 
     sym = edges.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     ).union(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
     sym = _ckpt(sym.dropDuplicates(["src", "dst"]))
 
-    pre = _rdd_dirs()
     labels = _ckpt(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("cluster_id"))
     )
-    prev_label_dirs = _rdd_dirs() - pre
+    prev_label_file = _ckpt_file(labels)
 
     for _ in range(max_iters):
         neighbor_min = (
@@ -117,7 +124,6 @@ def connected_components(
         # join against the already-checkpointed old labels) — a separate
         # count-join job per round doubled the driver-serial job count, the
         # dominant non-scaling cost in the flagship profile
-        pre = _rdd_dirs()
         new_labels = _ckpt(
             jumped.join(
                 labels.select("id", F.col("cluster_id").alias("old_label")),
@@ -135,11 +141,10 @@ def connected_components(
         labels = new_labels.select("id", "cluster_id")
         # previous round's labels checkpoint is superseded — delete its files
         # (new_labels is materialized; nothing references the old RDD's data)
-        if ck_root is not None:
-            new_dirs = _rdd_dirs() - pre
-            for d in prev_label_dirs:
-                fs_delete(spark, f"{ck_root}/{d}", recursive=True)
-            prev_label_dirs = new_dirs
+        if fs_delete is not None:
+            if prev_label_file is not None:
+                fs_delete(spark, prev_label_file, recursive=True)
+            prev_label_file = _ckpt_file(new_labels)
         if changed == 0:
             return labels
     raise RuntimeError(

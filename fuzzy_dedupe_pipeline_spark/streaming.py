@@ -18,9 +18,11 @@ scale these are Iceberg tables and the label rewrite is a MERGE INTO):
   sigs/batch_id=N/bucket=B/  per-batch signatures, hash-bucketed by id so the
                      verify pass reads ONLY buckets containing candidate
                      endpoints (partition-pruned)
-  bands/batch_id=N/  per-batch (id, band_id, band_hash) — the LSH index; the
-                     probe is the one intentionally index-wide equi-join
-                     (Iceberg: cluster/bloom on band_hash)
+  bands/batch_id=N/bhbucket=K/  per-batch (id, band_id, band_hash) — the LSH
+                     index, partitioned by pmod(band_hash, n_label_buckets):
+                     the probe reads only the partitions containing the
+                     micro-batch's own band hashes (Iceberg: cluster/bloom on
+                     band_hash — this layout is its file-level analog)
   labels/bucket=B/   (id, cluster_id) hash-bucketed by id; reads AND writes
                      touch only buckets containing batch candidates / remapped
                      cluster members (dynamic partition overwrite — the
@@ -29,21 +31,33 @@ scale these are Iceberg tables and the label rewrite is a MERGE INTO):
                      hash-bucketed by cluster_id: maps a remapped cluster to
                      the label buckets holding its members, so a merge rewrite
                      prunes to those buckets instead of scanning all labels
-  bloom/batch_id=N/  one row (bits binary): Bloom filter over the batch's
-                     first-seen ids; the per-trigger seen-id probe ORs these
-                     (KBs each) and confirms only Bloom-positive ids against
-                     bucket-pruned label partitions — O(batch), not O(corpus)
+  bloom/batch_id=N/bucket=B/  (bits binary) Bloom SHARDS over the batch's
+                     first-seen ids, one filter of bloom_bits/n_label_buckets
+                     bits per id-hash bucket. The per-trigger seen-id probe
+                     loads and ORs ONLY the shards of buckets the batch's own
+                     ids hash into — the filter's driver memory is O(batch
+                     buckets x shard), never O(corpus) (a monolithic filter at
+                     the module's 10-bits/doc sizing would be a ~1.25 GB
+                     broadcast at 10^9 docs) — and confirms positives against
+                     bucket-pruned label partitions
   commits/batch_N    high-watermark marker, written LAST
 
 Per-batch cost model (the whole point of the incremental path): every state
-READ is bounded by the batch, not the corpus — seen-id probe = Bloom sidecar
-+ positive-confirm against pruned label buckets; verify signatures = buckets
-of candidate endpoints only; label rewrite = buckets listed in the cluster
-directory for remapped clusters + buckets of new ids. The only corpus-wide
-scan left is the LSH band probe itself (the index lookup), which Iceberg
-prunes with band_hash clustering + bloom filters. With n_label_buckets sized
-to the corpus (thousands at web scale; 64 default here), touched-bucket reads
-are a vanishing fraction of the store.
+READ is bounded by the batch, not the corpus — seen-id probe = Bloom shards
+of the batch's id buckets + positive-confirm against pruned label buckets;
+LSH probe = band partitions of the batch's own band-hash buckets; verify
+signatures = buckets of candidate endpoints only; label rewrite = buckets
+listed in the cluster directory for remapped clusters + buckets of new ids.
+With n_label_buckets sized to the corpus (thousands at web scale; 64 default
+here), touched-bucket reads are a vanishing fraction of the store.
+
+Legacy layouts: stores written before sigs/bands were hash-bucketed hold flat
+batch_id=N/ files. Mixed-depth partition discovery fails in a single read, so
+every state read classifies partitions by layout and reads each group
+separately (legacy partitions unpruned — correct, just slower); compaction
+migrates legacy rows into the bucketed sentinel, and _backfill_bloom rebuilds
+monolithic/missing Bloom partitions as shards from the authoritative sigs
+ids, so an old store converges to the pruned layout instead of crashing.
 
 Exactly-once: the file-source checkpoint gives at-least-once foreachBatch
 execution; this module makes replays IDEMPOTENT rather than assuming
@@ -127,8 +141,13 @@ class IncrementalDedupe:
         self.commits_path = f"{self.state_dir}/commits"
         self.n_label_buckets = n_label_buckets
         # bits must stay fixed for a store's lifetime (ORed across batches);
-        # size to ~10 bits per expected corpus doc at production scale
+        # size to ~10 bits per expected corpus doc at production scale.
+        # The filter is SHARDED by the id-hash bucket: each bucket holds
+        # ~corpus/n_label_buckets ids, so a bloom_bits/n_label_buckets shard
+        # keeps the same bits-per-doc density while the per-trigger probe
+        # loads only the batch's buckets' shards.
         self.bloom_bits = bloom_bits
+        self.shard_bits = max(8, bloom_bits // n_label_buckets)
 
     # -- Hadoop-FS state probes (shared helpers in fs.py; work on HDFS/S3) ----
 
@@ -144,6 +163,100 @@ class IncrementalDedupe:
 
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_label_buckets)).cast("int")
+
+    def _bh_bucket(self, col):
+        """Band-hash partition key for the bands index (band_hash is already
+        a 64-bit hash — no rehash needed)."""
+        return F.pmod(col, F.lit(self.n_label_buckets)).cast("int")
+
+    def _part_has_data(self, spark: SparkSession, part_path: str) -> bool:
+        """A batch partition dir may hold only _SUCCESS (a 0-row write, e.g.
+        an all-reseen batch) — reading it alone fails schema inference."""
+        return any(
+            not n.startswith("_") for n in fs_list_names(spark, part_path)
+        )
+
+    def _split_batch_parts(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_col: str,
+        exclude: int | None = None,
+    ) -> tuple[list[int], list[int]]:
+        """Data-bearing batch_id= partitions of a state table classified by
+        layout: (bucketed_ids, flat_ids). Current code nests bucket_col=B/
+        dirs under each batch partition; a legacy store wrote flat files.
+        Mixed-depth partition discovery fails in one spark.read, so callers
+        read each group separately. Empty partitions (only _SUCCESS) are
+        omitted — there is nothing to read."""
+        bucketed: list[int] = []
+        flat: list[int] = []
+        for name in fs_list_names(spark, path):
+            if not name.startswith("batch_id="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if exclude is not None and b == exclude:
+                continue
+            sub = fs_list_names(spark, f"{path}/{name}")
+            if any(s.startswith(f"{bucket_col}=") for s in sub):
+                bucketed.append(b)
+            elif any(not s.startswith("_") for s in sub):
+                flat.append(b)
+        return bucketed, flat
+
+    def _read_batch_table(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_col: str,
+        buckets: list[int] | None,
+        columns: list[str],
+        exclude_batch: int | None = None,
+        only_ids: set[int] | None = None,
+    ) -> DataFrame | None:
+        """Layout-mixed-safe pruned read of a per-batch state table.
+
+        Bucketed partitions get a bucket_col partition filter (pruned scan,
+        plan-asserted in tests); legacy flat partitions are read UNPRUNED —
+        backward compat mirrors the bloom sidecar's treatment, and compaction
+        migrates them into the bucketed sentinel. buckets=[] reads nothing;
+        buckets=None skips pruning. Returns None when no partition has data.
+        """
+        bucketed, flat = self._split_batch_parts(
+            spark, path, bucket_col, exclude=exclude_batch
+        )
+        if only_ids is not None:
+            bucketed = [b for b in bucketed if b in only_ids]
+            flat = [b for b in flat if b in only_ids]
+        # basePath anchors partition discovery at the table root (explicit
+        # subdir roots with nested bucket dirs otherwise conflict)
+        parts: list[DataFrame] = []
+        if bucketed:
+            df = spark.read.option("basePath", path).parquet(
+                *[f"{path}/batch_id={b}" for b in sorted(bucketed)]
+            )
+            if buckets is not None:
+                df = (
+                    df.filter(
+                        F.col(bucket_col).isin([int(b) for b in buckets])
+                    )
+                    if buckets
+                    else df.limit(0)
+                )
+            parts.append(df.select(*columns))
+        if flat:
+            df = spark.read.option("basePath", path).parquet(
+                *[f"{path}/batch_id={b}" for b in sorted(flat)]
+            )
+            if buckets is not None and not buckets:
+                df = df.limit(0)
+            parts.append(df.select(*columns))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- bounded (O(batch)) state reads --------------------------------------
 
@@ -172,17 +285,34 @@ class IncrementalDedupe:
 
     def _read_sigs_old(
         self, spark: SparkSession, batch_id: int, buckets: list[int]
-    ) -> DataFrame:
+    ) -> DataFrame | None:
         """Prior-batch signatures restricted to the candidate-endpoint
-        buckets (and never this batch's own half-committed partition)."""
-        df = spark.read.parquet(self.sigs_path)
-        if not buckets:
-            return df.select(*_SIG_COLS).limit(0)
-        return (
-            df.filter(
-                (F.col("batch_id") != batch_id)
-                & F.col("bucket").isin([int(b) for b in buckets])
-            ).select(*_SIG_COLS)
+        buckets (and never this batch's own half-committed partition).
+        None = no prior data at all."""
+        return self._read_batch_table(
+            spark,
+            self.sigs_path,
+            "bucket",
+            buckets,
+            _SIG_COLS,
+            exclude_batch=batch_id,
+        )
+
+    def _read_bands_old(
+        self, spark: SparkSession, batch_id: int, bh_buckets: list[int]
+    ) -> DataFrame | None:
+        """The LSH index probe's store side, pruned to the partitions holding
+        the micro-batch's own band hashes (pmod(band_hash, n_label_buckets))
+        — the last per-trigger read that used to scan the whole index. At
+        production scale this is Iceberg band_hash clustering; here it is the
+        same dir-name pruning the label store gets. None = no prior data."""
+        return self._read_batch_table(
+            spark,
+            self.bands_path,
+            "bhbucket",
+            bh_buckets,
+            ["id", "band_id", "band_hash"],
+            exclude_batch=batch_id,
         )
 
     def _read_clusterdir(
@@ -202,11 +332,31 @@ class IncrementalDedupe:
 
     # -- Bloom sidecar -------------------------------------------------------
 
-    def _load_bloom(self, spark: SparkSession, exclude_batch: int):
-        """OR of all per-batch Bloom rows EXCEPT the current batch's (a crash
-        after the bloom write but before the commit marker must not make the
-        replay see its own ids as seen). None => the sidecar is absent OR
-        incomplete — caller falls back to a full-label probe.
+    def _bloom_rows_df(
+        self, spark: SparkSession, part_ids: list[int], buckets: list[int]
+    ) -> DataFrame:
+        """(bucket, bits) shard rows of the listed batch partitions, pruned
+        to the listed buckets (partition filter — plan-asserted in tests)."""
+        return (
+            spark.read.option("basePath", self.bloom_path)
+            .parquet(
+                *[f"{self.bloom_path}/batch_id={b}" for b in sorted(part_ids)]
+            )
+            .filter(F.col("bucket").isin([int(b) for b in buckets]))
+            .select("bucket", "bits")
+        )
+
+    def _load_bloom(
+        self, spark: SparkSession, exclude_batch: int, buckets: list[int]
+    ) -> dict[int, np.ndarray] | None:
+        """Per-bucket OR of the Bloom shards for ONLY the listed id-hash
+        buckets, across every batch partition EXCEPT the current batch's (a
+        crash after the bloom write but before the commit marker must not
+        make the replay see its own ids as seen). A bucket with no shard in
+        any partition holds no committed id — ids hashing there are
+        definitively fresh. None => the sidecar is absent, incomplete, or
+        still in the legacy monolithic layout — caller falls back to a
+        full-label probe (compaction's _backfill_bloom migrates/repairs it).
 
         Completeness check: a pre-sidecar (legacy) store that keeps running
         under this code gains bloom rows for NEW batches only; trusting that
@@ -214,78 +364,140 @@ class IncrementalDedupe:
         fresh") and re-enter them into the index. The bloom is usable only if
         every sigs batch partition (the authoritative committed set; sentinel
         included, since compaction merges tables in lockstep) has a matching
-        bloom partition — the current batch's own partition exempted (it is
-        excluded from the OR anyway)."""
-        if not fs_exists(spark, self.bloom_path):
+        SHARDED bloom partition — the current batch's own partition exempted
+        (it is excluded from the OR anyway)."""
+        if not fs_exists(spark, self.bloom_path) or not buckets:
             return None
         sig_parts = set(self._list_batch_parts(spark, self.sigs_path))
         bloom_parts = set(self._list_batch_parts(spark, self.bloom_path))
         if not (sig_parts - {exclude_batch}) <= bloom_parts:
             return None
-        rows = (
-            spark.read.parquet(self.bloom_path)
-            .filter(F.col("batch_id") != exclude_batch)
-            .select("bits")
-            .collect()
+        sharded, flat = self._split_batch_parts(
+            spark, self.bloom_path, "bucket", exclude=exclude_batch
         )
-        if not rows:
+        if flat:
+            # legacy monolithic rows have a different geometry (bloom_bits,
+            # not shard_bits) — unusable until compaction rebuilds them
             return None
-        merged = np.zeros(self.bloom_bits // 8, dtype=np.uint8)
-        for r in rows:
+        if not sharded:
+            return None
+        nbytes = (self.shard_bits + 7) // 8
+        merged: dict[int, np.ndarray] = {}
+        for r in self._bloom_rows_df(spark, sharded, buckets).collect():
             b = np.frombuffer(r["bits"], dtype=np.uint8)
-            if b.size != merged.size:
+            if b.size != nbytes:
                 raise ValueError(
-                    "bloom sidecar size mismatch — bloom_bits must stay "
-                    "fixed for a store's lifetime"
+                    "bloom shard size mismatch — bloom_bits/n_label_buckets "
+                    "must stay fixed for a store's lifetime"
                 )
-            merged |= b
+            acc = merged.get(int(r["bucket"]))
+            if acc is None:
+                merged[int(r["bucket"])] = b.copy()
+            else:
+                acc |= b
         return merged
 
     def _write_bloom(
         self, spark: SparkSession, ids_df: DataFrame, batch_id: int
     ) -> None:
-        """Distributed build: per-partition bit arrays via mapInPandas, OR'd
-        on the driver (n_partitions x bloom_bits/8 bytes), one row written."""
-        m = self.bloom_bits
-        nbytes = m // 8
+        self._write_bloom_rows(
+            spark, ids_df, f"{self.bloom_path}/batch_id={batch_id}"
+        )
+
+    def _write_bloom_rows(
+        self, spark: SparkSession, ids_df: DataFrame, dest: str
+    ) -> None:
+        """Fully distributed shard build: ids are hash-repartitioned by their
+        id bucket, each task builds the shard(s) of the buckets it owns (one
+        shard_bits/8-byte array per bucket), rows written partitioned by
+        bucket. No driver-side OR at any size — per-task memory is
+        (buckets-in-task x shard bytes)."""
+        sb = self.shard_bits
+        nbytes = (sb + 7) // 8
         k = _BLOOM_K
         hashed = ids_df.select(
+            self._bucket(F.col("id")).alias("bucket"),
             F.xxhash64(F.col("id"), F.lit(_BLOOM_SEED1)).alias("h1"),
             F.xxhash64(F.col("id"), F.lit(_BLOOM_SEED2)).alias("h2"),
+        ).repartition(
+            max(1, min(self.n_label_buckets, 32)), F.col("bucket")
         )
 
         def gen(it):
-            bits = np.zeros(nbytes, dtype=np.uint8)
-            got = False
+            acc: dict[int, np.ndarray] = {}
             for pdf in it:
                 if not len(pdf):
                     continue
-                got = True
+                bk = pdf["bucket"].to_numpy(dtype=np.int64)
                 a = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
-                b = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64) | np.uint64(1)
-                with np.errstate(over="ignore"):
-                    for i in range(k):
-                        idx = (a + np.uint64(i) * b) % np.uint64(m)
-                        np.bitwise_or.at(
-                            bits,
-                            (idx >> np.uint64(3)).astype(np.int64),
-                            (
-                                np.uint8(1)
-                                << (idx & np.uint64(7)).astype(np.uint8)
-                            ).astype(np.uint8),
-                        )
-            if got:
-                yield pd.DataFrame({"bits": [bits.tobytes()]})
+                b = (
+                    pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+                    | np.uint64(1)
+                )
+                for bucket in np.unique(bk):
+                    bits = acc.setdefault(
+                        int(bucket), np.zeros(nbytes, dtype=np.uint8)
+                    )
+                    mask = bk == bucket
+                    aa, bb = a[mask], b[mask]
+                    with np.errstate(over="ignore"):
+                        for i in range(k):
+                            idx = (aa + np.uint64(i) * bb) % np.uint64(sb)
+                            np.bitwise_or.at(
+                                bits,
+                                (idx >> np.uint64(3)).astype(np.int64),
+                                (
+                                    np.uint8(1)
+                                    << (idx & np.uint64(7)).astype(np.uint8)
+                                ).astype(np.uint8),
+                            )
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "bucket": list(acc.keys()),
+                        "bits": [v.tobytes() for v in acc.values()],
+                    }
+                )
 
-        merged = np.zeros(nbytes, dtype=np.uint8)
-        for r in hashed.mapInPandas(gen, "bits binary").collect():
-            merged |= np.frombuffer(r["bits"], dtype=np.uint8)
         (
-            spark.createDataFrame([(bytearray(merged.tobytes()),)], "bits binary")
-            .coalesce(1)
+            hashed.mapInPandas(gen, "bucket int, bits binary")
             .write.mode("overwrite")
-            .parquet(f"{self.bloom_path}/batch_id={batch_id}")
+            .partitionBy("bucket")
+            .parquet(dest)
         )
+
+    def _backfill_bloom(self, spark: SparkSession) -> None:
+        """Restore sidecar completeness from the authoritative sigs store:
+        every sigs batch partition whose bloom partition is missing OR still
+        in the legacy monolithic layout gets a sharded bloom partition
+        rebuilt from that partition's ids (closes the crash window between
+        the sigs and bloom compactions, and migrates pre-sidecar /
+        pre-sharding stores). Crash-safe: each rebuild writes to a tmp dir
+        and renames into place; a crash between delete and rename leaves the
+        partition missing, which _load_bloom treats as incomplete (full-label
+        probe fallback) until the next compaction retries."""
+        for b in self._list_batch_parts(spark, self.sigs_path):
+            bp = f"{self.bloom_path}/batch_id={b}"
+            if any(
+                n.startswith("bucket=") for n in fs_list_names(spark, bp)
+            ):
+                continue  # already sharded
+            sig_part = f"{self.sigs_path}/batch_id={b}"
+            if (
+                fs_exists(spark, bp)
+                and not self._part_has_data(spark, bp)
+                and not self._part_has_data(spark, sig_part)
+            ):
+                continue  # both empty (0-row batch) — nothing to rebuild
+            if self._part_has_data(spark, sig_part):
+                ids = spark.read.parquet(sig_part).select("id")
+            else:
+                ids = spark.createDataFrame([], "id string")
+            tmp = f"{self.bloom_path}/.rebuild_{b if b >= 0 else 'sentinel'}"
+            self._write_bloom_rows(spark, ids, tmp)
+            if fs_exists(spark, bp):
+                fs_delete(spark, bp, recursive=True)
+            fs_rename(spark, tmp, bp)
 
     def _own_attempt_ids(
         self, spark: SparkSession, batch_id: int
@@ -295,17 +507,24 @@ class IncrementalDedupe:
         far enough to write label rows this partition exists and contains
         exactly the ids it labelled). None = no prior attempt."""
         own = f"{self.sigs_path}/batch_id={batch_id}"
-        if not fs_exists(spark, own):
+        if not fs_exists(spark, own) or not self._part_has_data(spark, own):
             return None
         return spark.read.parquet(own).select("id")
 
     def _filter_fresh(
-        self, spark: SparkSession, clean: DataFrame, batch_id: int, scratch: list
+        self,
+        spark: SparkSession,
+        clean: DataFrame,
+        batch_id: int,
+        scratch: list,
+        own_ids: DataFrame | None,
     ) -> DataFrame:
         """First-seen-wins: drop ids already committed. Bloom-negative ids are
         definitively fresh (no false negatives); Bloom-positive ids are
-        confirmed against ONLY the label buckets they hash into. Cost is
-        O(batch) + O(positive-bucket rows), never a corpus scan.
+        confirmed against ONLY the label buckets they hash into. The filter
+        itself is loaded as per-bucket SHARDS of the batch's own id buckets,
+        so both I/O and driver/broadcast memory are O(batch), never a corpus
+        scan (the previous monolithic OR was O(corpus bits) in memory).
 
         The confirm reads the LABEL store, which — unlike the bloom sidecar,
         whose load excludes this batch's row — may already hold rows a crashed
@@ -313,54 +532,72 @@ class IncrementalDedupe:
         ids must not be dropped as "seen": the replay has to re-sign them or
         their output rows are lost and their stale labels never converge. The
         batch's own sigs partition identifies exactly those rows (sigs commit
-        before labels), so its ids are anti-joined out of the seen set in both
-        probe paths — an O(batch) read that only exists after a crash."""
-        bits = self._load_bloom(spark, exclude_batch=batch_id)
+        before labels), so its ids (own_ids, None if no prior attempt) are
+        anti-joined out of the seen set in both probe paths."""
         ids = clean.select("id")
-        own_ids = self._own_attempt_ids(spark, batch_id)
-        if bits is None:
-            # legacy store without the sidecar: conservative full probe
+        # the batch's id buckets: <= n_label_buckets rows, one tiny job —
+        # needed up front so only those buckets' shards are loaded
+        id_buckets = self._collect_buckets(
+            ids.select(self._bucket(F.col("id")).alias("bucket"))
+        )
+        shards = self._load_bloom(
+            spark, exclude_batch=batch_id, buckets=id_buckets
+        )
+        if shards is None:
+            # legacy/incomplete sidecar: conservative full probe
             seen = ids.join(
                 self._read_labels(spark, None).select("id"), "id", "left_semi"
             )
             if own_ids is not None:
                 seen = seen.join(own_ids, "id", "left_anti")
             return clean.join(seen, "id", "left_anti")
-        bc = spark.sparkContext.broadcast(bits.tobytes())
+        bc = spark.sparkContext.broadcast(
+            {b: bits.tobytes() for b, bits in shards.items()}
+        )
         scratch.append(bc)
         k = _BLOOM_K
-        m = self.bloom_bits
+        sb = self.shard_bits
 
         @F.pandas_udf("boolean")
-        def maybe_seen(h1: pd.Series, h2: pd.Series) -> pd.Series:
-            arr = np.frombuffer(bc.value, dtype=np.uint8)
+        def maybe_seen(
+            bucket: pd.Series, h1: pd.Series, h2: pd.Series
+        ) -> pd.Series:
+            shard_map = bc.value
+            bk = bucket.to_numpy(dtype=np.int64)
             a = h1.to_numpy(dtype=np.int64).view(np.uint64)
             b = h2.to_numpy(dtype=np.int64).view(np.uint64) | np.uint64(1)
-            res = np.ones(a.size, dtype=bool)
+            # default False: a bucket with no shard holds no committed id
+            res = np.zeros(bk.size, dtype=bool)
             with np.errstate(over="ignore"):
-                for i in range(k):
-                    idx = (a + np.uint64(i) * b) % np.uint64(m)
-                    res &= (
-                        arr[(idx >> np.uint64(3)).astype(np.int64)]
-                        >> (idx & np.uint64(7)).astype(np.uint8)
-                    ) & 1 == 1
+                for bucket_val in np.unique(bk):
+                    raw = shard_map.get(int(bucket_val))
+                    if raw is None:
+                        continue
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    mask = bk == bucket_val
+                    aa, bb = a[mask], b[mask]
+                    r = np.ones(aa.size, dtype=bool)
+                    for i in range(k):
+                        idx = (aa + np.uint64(i) * bb) % np.uint64(sb)
+                        r &= (
+                            arr[(idx >> np.uint64(3)).astype(np.int64)]
+                            >> (idx & np.uint64(7)).astype(np.uint8)
+                        ) & 1 == 1
+                    res[mask] = r
             return pd.Series(res)
 
         maybe = (
-            ids.withColumn(
-                "h1", F.xxhash64(F.col("id"), F.lit(_BLOOM_SEED1))
-            )
+            ids.withColumn("bucket", self._bucket(F.col("id")))
+            .withColumn("h1", F.xxhash64(F.col("id"), F.lit(_BLOOM_SEED1)))
             .withColumn("h2", F.xxhash64(F.col("id"), F.lit(_BLOOM_SEED2)))
-            .filter(maybe_seen(F.col("h1"), F.col("h2")))
-            .select("id")
+            .filter(maybe_seen(F.col("bucket"), F.col("h1"), F.col("h2")))
+            .select("id", "bucket")
             .localCheckpoint()
         )
-        mb = self._collect_buckets(
-            maybe.select(self._bucket(F.col("id")).alias("bucket"))
-        )
+        mb = self._collect_buckets(maybe.select("bucket"))
         if not mb:
             return clean
-        seen = maybe.join(
+        seen = maybe.select("id").join(
             self._read_labels(spark, mb).select("id"), "id", "left_semi"
         )
         if own_ids is not None:
@@ -394,10 +631,20 @@ class IncrementalDedupe:
         """(table, path, partition_cols) for every per-batch state table."""
         return (
             ("sigs", self.sigs_path, ("bucket",)),
-            ("bands", self.bands_path, ()),
-            ("bloom", self.bloom_path, ()),
+            ("bands", self.bands_path, ("bhbucket",)),
+            ("bloom", self.bloom_path, ("bucket",)),
             ("clusterdir", self.clusterdir_path, ("cbucket",)),
         )
+
+    def _derive_bucket_col(self, table: str):
+        """Bucket expression for LEGACY flat rows of a table (stores written
+        before that table was hash-partitioned) — compaction uses it to
+        migrate them into the bucketed sentinel layout."""
+        return {
+            "sigs": self._bucket(F.col("id")),
+            "bands": self._bh_bucket(F.col("band_hash")),
+            "clusterdir": self._bucket(F.col("cluster_id")),
+        }[table]
 
     def _compact_marker(self, table: str) -> str:
         return f"{self.state_dir}/.compact/COMMIT_{table}"
@@ -418,42 +665,83 @@ class IncrementalDedupe:
         part_cols: tuple[str, ...] = (),
     ) -> None:
         staging = f"{self.state_dir}/.compact/{table}"
-        parts = [f"{path}/batch_id={b}" for b in sorted(merge_ids)]
-        # basePath anchors partition discovery at the table root (multiple
-        # explicit roots with nested bucket= dirs otherwise conflict); the
-        # discovered batch_id column is dropped — the consolidated rows live
-        # under batch_id=-1 afterwards
+        bucket_col = part_cols[0]
+        want = set(merge_ids)
+        bucketed, flat = self._split_batch_parts(spark, path, bucket_col)
+        bucketed = sorted(b for b in bucketed if b in want)
+        flat = sorted(b for b in flat if b in want)
+        if not bucketed and not flat:
+            # every merged source is an empty (0-row) partition — no staging
+            # needed; deleting empty dirs loses nothing, so skip the marker
+            # protocol and remove them directly
+            for b in sorted(merge_ids):
+                p = f"{path}/batch_id={b}"
+                if b != -1 and fs_exists(spark, p):
+                    fs_delete(spark, p, recursive=True)
+            return
         if table == "bloom":
-            # bloom rows OR together — the sentinel stays a single row
-            merged = np.zeros(self.bloom_bits // 8, dtype=np.uint8)
-            rows = (
-                spark.read.option("basePath", path)
-                .parquet(*parts)
-                .select("bits")
-                .collect()
-            )
-            for r in rows:
-                merged |= np.frombuffer(r["bits"], dtype=np.uint8)
-            (
-                spark.createDataFrame(
-                    [(bytearray(merged.tobytes()),)], "bits binary"
+            if flat:
+                raise RuntimeError(
+                    "bloom compaction found legacy monolithic partitions "
+                    f"({flat}) — _backfill_bloom must run first (compact_"
+                    "state does); their geometry cannot be merged with shards"
                 )
-                .coalesce(1)
+            sb_bytes = (self.shard_bits + 7) // 8
+
+            def or_bits(pdf: pd.DataFrame) -> pd.DataFrame:
+                acc = np.zeros(sb_bytes, dtype=np.uint8)
+                for raw in pdf["bits"]:
+                    b = np.frombuffer(raw, dtype=np.uint8)
+                    if b.size != acc.size:
+                        raise ValueError("bloom shard size mismatch")
+                    acc |= b
+                return pd.DataFrame(
+                    {"bucket": [int(pdf["bucket"].iloc[0])],
+                     "bits": [acc.tobytes()]}
+                )
+
+            # distributed per-bucket OR — the sentinel keeps one shard row
+            # per bucket; nothing corpus-sized ever lands on the driver
+            (
+                spark.read.option("basePath", path)
+                .parquet(*[f"{path}/batch_id={b}" for b in bucketed])
+                .select("bucket", "bits")
+                .groupBy("bucket")
+                .applyInPandas(or_bits, "bucket int, bits binary")
                 .write.mode("overwrite")
+                .partitionBy("bucket")
                 .parquet(staging)
             )
         else:
-            df = spark.read.option("basePath", path).parquet(*parts).drop(
-                "batch_id"
-            )
-            writer = (
+            # basePath anchors partition discovery at the table root
+            # (multiple explicit roots with nested bucket= dirs otherwise
+            # conflict); the discovered batch_id column is dropped — the
+            # consolidated rows live under batch_id=-1 afterwards. Legacy
+            # flat partitions lack the bucket column: derive it, so the
+            # sentinel is always fully bucketed (the migration path).
+            groups: list[DataFrame] = []
+            if bucketed:
+                groups.append(
+                    spark.read.option("basePath", path)
+                    .parquet(*[f"{path}/batch_id={b}" for b in bucketed])
+                    .drop("batch_id")
+                )
+            if flat:
+                groups.append(
+                    spark.read.option("basePath", path)
+                    .parquet(*[f"{path}/batch_id={b}" for b in flat])
+                    .drop("batch_id")
+                    .withColumn(bucket_col, self._derive_bucket_col(table))
+                )
+            df = groups[0]
+            for g in groups[1:]:
+                df = df.unionByName(g)
+            (
                 df.repartition(*[F.col(c) for c in part_cols])
-                if part_cols
-                else df.coalesce(max(1, self.n_label_buckets // 8))
-            ).write.mode("overwrite")
-            if part_cols:
-                writer = writer.partitionBy(*part_cols)
-            writer.parquet(staging)
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(staging)
+            )
         # atomic marker (see protocol above)
         marker = self._compact_marker(table)
         tmp = marker + ".tmp"
@@ -517,25 +805,23 @@ class IncrementalDedupe:
         watermark = (
             max(committed) if watermark is None else min(watermark, max(committed))
         )
+        # restore sidecar completeness BEFORE merging: every sigs partition
+        # with a missing or legacy-monolithic bloom partition gets sharded
+        # shards rebuilt from its ids (the authoritative committed set).
+        # This closes the crash window between the sigs and bloom merges —
+        # previously that crash skipped bloom compaction forever and the
+        # sidecar silently degraded to the full-label probe — and it FILLS
+        # (not launders) a pre-sidecar store's gap: after the rebuild the
+        # merged sentinel genuinely covers every committed id.
+        self._backfill_bloom(spark)
         merged = 0
-        sigs_ids: set[int] = set()
         for table, path, pcols in self._state_tables():
             ids = [
                 b
                 for b in self._list_batch_parts(spark, path)
                 if b == -1 or b < watermark
             ]
-            if table == "sigs":
-                sigs_ids = set(ids)
             if len(ids) <= 1:
-                continue
-            if table == "bloom" and set(ids) != sigs_ids:
-                # an INCOMPLETE sidecar (store predates it, or it was deleted
-                # and rebuilt from a later batch) must stay visibly
-                # incomplete: merging it into a sentinel would make its
-                # partition list match sigs' and launder the gap past
-                # _load_bloom's completeness check, silently re-admitting
-                # old ids as "definitively fresh"
                 continue
             self._compact_table(spark, path, table, ids, pcols)
             merged = max(merged, len(ids))
@@ -583,6 +869,15 @@ class IncrementalDedupe:
             # rows the original run never produced (extra rows in an
             # at-least-once downstream sink).
             batch_part = f"{self.sigs_path}/batch_id={batch_id}"
+            if not self._part_has_data(spark, batch_part):
+                # the committed batch signed nothing (all ids re-seen) —
+                # re-emit the same empty result; reading the 0-row partition
+                # would fail schema inference
+                return clean.limit(0).select(
+                    "id",
+                    F.col("id").alias("cluster_id"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                )
             batch_ids = spark.read.parquet(batch_part).select("id")
             # the batch's label buckets are literally the sigs partition's
             # bucket= dir names — prune the label read without running a job
@@ -606,12 +901,18 @@ class IncrementalDedupe:
         persists: list[DataFrame] = []
         scratch_bcs: list = []
         have_state = self._have_state(spark)
+        # ids a CRASHED attempt of this batch half-committed (None = no prior
+        # attempt) — anti-joined out of every stale-state lookup below so the
+        # replay's fresh computation wins
+        own_ids = self._own_attempt_ids(spark, batch_id)
         if have_state:
             # first-seen wins: a re-crawled url must not re-enter the index
             # (duplicate sig rows would self-pair in the bands join and emit
-            # conflicting label rows). Bloom sidecar + pruned confirm —
+            # conflicting label rows). Bloom shards + pruned confirm —
             # O(batch), replaces the full prior-sigs scan.
-            fresh = self._filter_fresh(spark, clean, batch_id, scratch_bcs)
+            fresh = self._filter_fresh(
+                spark, clean, batch_id, scratch_bcs, own_ids
+            )
         else:
             fresh = clean
 
@@ -627,14 +928,20 @@ class IncrementalDedupe:
         intra, _dropped = candidate_pairs(nonempty, cfg, persists=persists)
 
         ep_buckets: list[int] = []
+        bands_old = None
         if have_state:
             # the LSH index probe: store-side bands are the big side, the
-            # micro-batch bands broadcast. Deliberately index-wide — at
-            # production scale the Iceberg bands table is clustered on
-            # band_hash so this scan prunes too.
-            bands_old = spark.read.parquet(self.bands_path).filter(
-                F.col("batch_id") != batch_id
+            # micro-batch bands broadcast. The store read is pruned to the
+            # partitions holding the batch's OWN band hashes (one tiny
+            # bucket-list job over bands_new) — the probe's I/O is bounded by
+            # the batch's band diversity, not the corpus.
+            bh_buckets = self._collect_buckets(
+                bands_new.select(
+                    self._bh_bucket(F.col("band_hash")).alias("bucket")
+                )
             )
+            bands_old = self._read_bands_old(spark, batch_id, bh_buckets)
+        if bands_old is not None:
             cross_raw = (
                 bands_old.join(
                     F.broadcast(
@@ -658,8 +965,11 @@ class IncrementalDedupe:
             candidates = intra.union(cross).dropDuplicates(["id1", "id2"])
             # verify needs old signatures ONLY for candidate endpoints —
             # bucket-pruned read instead of the whole store
-            sigs_all = self._read_sigs_old(spark, batch_id, ep_buckets).unionByName(
+            sigs_old = self._read_sigs_old(spark, batch_id, ep_buckets)
+            sigs_all = (
                 sigs_new
+                if sigs_old is None
+                else sigs_old.unionByName(sigs_new)
             )
         else:
             candidates = intra
@@ -677,6 +987,16 @@ class IncrementalDedupe:
             labels_lookup = self._read_labels(spark, ep_buckets).select(
                 "id", "cluster_id"
             )
+            if own_ids is not None:
+                # replay guard: a crashed attempt's half-committed label rows
+                # for THIS batch's own ids must not rewrite the replay's
+                # intra-batch edge endpoints — stale rows a->a, b->a would
+                # collapse edge (a,b) to (a,a), drop b from CC, and the
+                # anti-join below would then commit the split (b->b). Same
+                # anti-join as the seen probe and the duplicate-row guard;
+                # used_old_labels derives from these columns, so it is
+                # cleaned by construction.
+                labels_lookup = labels_lookup.join(own_ids, "id", "left_anti")
             l1 = labels_lookup.select(
                 F.col("id").alias("id1"), F.col("cluster_id").alias("c1")
             )
@@ -774,8 +1094,13 @@ class IncrementalDedupe:
             .partitionBy("bucket")
             .parquet(f"{self.sigs_path}/batch_id={batch_id}")
         )
-        bands_new.write.mode("overwrite").parquet(
-            f"{self.bands_path}/batch_id={batch_id}"
+        (
+            bands_new.withColumn(
+                "bhbucket", self._bh_bucket(F.col("band_hash"))
+            )
+            .write.mode("overwrite")
+            .partitionBy("bhbucket")
+            .parquet(f"{self.bands_path}/batch_id={batch_id}")
         )
         self._write_bloom(spark, sigs_new.select("id"), batch_id)
         # membership directory delta: every (cluster, bucket) this batch wrote

@@ -149,3 +149,29 @@ def test_reliable_checkpoints_are_cleaned_per_round(spark, tmp_path):
         if d.startswith("rdd-")
     ]
     assert len(rdd_dirs) <= 3, f"stale checkpoint rounds left behind: {rdd_dirs}"
+
+
+def test_concurrent_reliable_checkpoint_ccs_do_not_interfere(spark, tmp_path):
+    """Round-4 ADVICE: two connected_components runs sharing one
+    SparkContext checkpoint dir must not delete each other's live
+    checkpoints mid-round — cleanup tracks each round's EXACT rdd-N dir
+    (via the checkpointed plan's RDD) instead of set-diffing the shared
+    directory, which captured concurrent writers' dirs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ckdir = str(tmp_path / "cc_ckpt_conc")
+
+    def run(tag: str, n: int):
+        edf = spark.createDataFrame(
+            [(f"{tag}:{i:03d}", f"{tag}:{i + 1:03d}") for i in range(n - 1)],
+            "id1 string, id2 string",
+        )
+        out = connected_components(edf, checkpoint_dir=ckdir)
+        return {r.id: r.cluster_id for r in out.collect()}
+
+    with ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(run, "a", 48)
+        fb = ex.submit(run, "b", 48)
+        got_a, got_b = fa.result(), fb.result()
+    assert set(got_a.values()) == {"a:000"}
+    assert set(got_b.values()) == {"b:000"}

@@ -80,8 +80,10 @@ def test_ivf_topk_recall_and_determinism(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(want & got) / len(want)
     # probing half the lists on clustered data; KMeans-sample centroids
-    # (fit_ivf_centroids) raised the guaranteed floor from 0.5
-    assert recall >= 0.7, recall
+    # (fit_ivf_centroids) raised the guaranteed floor from 0.5; the path is
+    # deterministic — measured exactly 0.78 on this corpus/query set — so
+    # the floor is 0.75 (round-5 tightening, 0.03 guard)
+    assert recall >= 0.75, recall
 
     again = {(r["query_id"], r["neighbor_id"])
              for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4).collect()}

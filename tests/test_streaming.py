@@ -403,11 +403,17 @@ def test_crash_replay_bloom_positive_ids_not_dropped(spark, tmp_path):
     silently lost. A SATURATED 8-bit Bloom (40 ids x 5 probes; saturation
     asserted below) makes every id Bloom-positive, forcing the label-confirm
     path that a real false positive would take; the fix anti-joins ids from
-    the batch's own sigs partition out of the seen set."""
+    the batch's own sigs partition out of the seen set. n_label_buckets=1
+    collapses the sharded sidecar to ONE shard, so the whole filter is the
+    8 bits being saturated."""
     import os
 
     inc = IncrementalDedupe(
-        spark, str(tmp_path / "state_bp"), CFG, bloom_bits=8
+        spark,
+        str(tmp_path / "state_bp"),
+        CFG,
+        bloom_bits=8,
+        n_label_buckets=1,
     )
     b0 = spark.createDataFrame(
         [(f"u:fill{i}", f"filler page number {i} with its own words " * 20)
@@ -469,12 +475,12 @@ def test_crash_replay_legacy_probe_ids_not_dropped(spark, tmp_path):
     sigs = spark.read.parquet(inc.sigs_path)
     assert sigs.filter(F.col("id") == "u:a").count() == 1
 
-    # compaction must not launder the gap: merging the partial bloom into a
-    # sentinel would make its partition list match sigs' again (both end as
-    # {-1, newest}) and slip past the completeness check. Batch 3 makes the
-    # bloom's merge-eligible set {1, 2} vs sigs' {0, 1, 2} — the compaction
-    # guard must leave bloom unmerged — then re-seen u:b must STILL be
-    # dropped afterwards.
+    # compaction must not LAUNDER the gap (merging the partial bloom into a
+    # sentinel would make its partition list match sigs' and slip past the
+    # completeness check while batch 0's ids are absent) — it must FILL it:
+    # _backfill_bloom rebuilds the missing partitions' shards from the
+    # authoritative sigs ids before merging, so after compaction the sidecar
+    # is complete and correct, and re-seen u:b must STILL be dropped.
     b3 = spark.createDataFrame(
         [("u:c", "third page bringing yet more novel words " * 20)],
         "url string, text string",
@@ -588,3 +594,247 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_agg").collect()
     }
     assert got == want
+
+
+def test_crash_replay_does_not_split_intra_batch_cluster(spark, tmp_path):
+    """Round-4 ADVICE: a crash between the labels write and the commit marker
+    leaves this batch's OWN label rows in the store; the replay's
+    edge-endpoint rewrite (labels_lookup) must not route intra-batch edges
+    through those stale rows — stale a->a, b->a would collapse edge (a,b) to
+    (a,a), CC would drop b, and the duplicate-row anti-join would then commit
+    the split (b->b). n_label_buckets=1 forces the crashed attempt's rows
+    into the ep_buckets label read, the exact hazard window."""
+    import os
+
+    base = (
+        "quantum raven sunset meadow glacier ember willow thunder canyon "
+        "harbor falcon prairie summit lantern compass "
+    ) * 8
+    inc = IncrementalDedupe(
+        spark, str(tmp_path / "state_split"), CFG, n_label_buckets=1
+    )
+    b0 = spark.createDataFrame(
+        [("u:old", base + "origin")], "url string, text string"
+    )
+    inc.process_batch(b0, batch_id=0)
+    # batch 1: an intra-batch near-dup pair + a bridge to the stored doc so
+    # the replay has cross candidates (nonempty ep_buckets)
+    b1 = spark.createDataFrame(
+        [
+            ("u:x-a", base + "variant one"),
+            ("u:x-b", base + "variant one two"),
+            ("u:bridge", base + "origin plus"),
+        ],
+        "url string, text string",
+    )
+    inc.process_batch(b1, batch_id=1)
+    want = {
+        r["id"]: r["cluster_id"]
+        for r in spark.read.parquet(inc.labels_path).collect()
+    }
+    assert want["u:x-a"] == want["u:x-b"]  # precondition: the pair verifies
+    os.remove(f"{inc.commits_path}/batch_1")  # crash before the marker
+    inc.process_batch(b1, batch_id=1)  # replay
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in spark.read.parquet(inc.labels_path).collect()
+    }
+    assert got == want, f"replay diverged: {got} != {want}"
+
+
+def test_legacy_flat_sigs_store_keeps_running(spark, tmp_path):
+    """Round-4 ADVICE: a store written before sigs/bands were hash-bucketed
+    holds flat batch_id=N/ files; a stateful batch on top of it must not
+    crash on mixed-depth partition discovery, near-dups must still match the
+    legacy history, and compaction must migrate the flat rows into the
+    bucketed sentinel."""
+    import os
+    import shutil
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+    ) * 6
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_legacy"), CFG)
+    b0 = spark.createDataFrame(
+        [("u:old", base + "ending one")], "url string, text string"
+    )
+    inc.process_batch(b0, batch_id=0)
+    # rewrite batch 0's sigs + bands partitions in the LEGACY flat layout
+    # and drop the bloom sidecar entirely (a pre-sidecar store)
+    for path, cols in (
+        (inc.sigs_path, ["id", "n_tokens", "shingles", "minhash", "simhash"]),
+        (inc.bands_path, ["id", "band_id", "band_hash"]),
+    ):
+        part = f"{path}/batch_id=0"
+        tmp = str(tmp_path / "flat_rewrite")
+        spark.read.parquet(part).select(*cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.rmtree(part)
+        shutil.move(tmp, part)
+    shutil.rmtree(inc.bloom_path)
+
+    b1 = spark.createDataFrame(
+        [("u:new", base + "ending two"), ("u:old", base + "ending one")],
+        "url string, text string",
+    )
+    out = inc.process_batch(b1, batch_id=1)
+    # re-seen id dropped (full-probe fallback), fresh doc matched against
+    # the flat legacy band index
+    assert {r["id"] for r in out.collect()} == {"u:new"}
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in spark.read.parquet(inc.labels_path).collect()
+    }
+    assert labels["u:new"] == labels["u:old"]
+
+    b2 = spark.createDataFrame(
+        [("u:c", "wholly different page of words " * 25)],
+        "url string, text string",
+    )
+    inc.process_batch(b2, batch_id=2)
+    inc.compact_state()  # merges batches {0 flat, 1 bucketed} -> sentinel
+    sent_sigs = os.listdir(f"{inc.sigs_path}/batch_id=-1")
+    assert any(n.startswith("bucket=") for n in sent_sigs)
+    sent_bands = os.listdir(f"{inc.bands_path}/batch_id=-1")
+    assert any(n.startswith("bhbucket=") for n in sent_bands)
+    # the backfill rebuilt a complete SHARDED sidecar from sigs ids
+    shards = inc._load_bloom(
+        spark, exclude_batch=99, buckets=list(range(inc.n_label_buckets))
+    )
+    assert shards is not None
+    # and the migrated store still answers: re-seen legacy id stays dropped,
+    # a near-dup of legacy text still clusters with it
+    b3 = spark.createDataFrame(
+        [("u:old", base + "ending one"), ("u:newer", base + "ending three")],
+        "url string, text string",
+    )
+    out3 = inc.process_batch(b3, batch_id=3)
+    assert {r["id"] for r in out3.collect()} == {"u:newer"}
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in spark.read.parquet(inc.labels_path).collect()
+    }
+    assert labels["u:newer"] == labels["u:old"]
+
+
+def test_stream_band_probe_is_bucket_pruned(spark, tmp_path, monkeypatch):
+    """The LSH index probe reads ONLY the bhbucket partitions holding the
+    micro-batch's own band hashes: the pruned reader gets an explicit bucket
+    list strictly smaller than the bucket space (32 band hashes < 64
+    buckets), and the bucketed read's plan carries a bhbucket partition
+    filter."""
+    from fuzzy_dedupe_pipeline_spark import streaming as st
+
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_bands"), CFG)
+    b0 = spark.createDataFrame(
+        [(f"u:{i}", f"wholly distinct page number {i} content " * 20)
+         for i in range(6)],
+        "url string, text string",
+    )
+    inc.process_batch(b0, batch_id=0)
+
+    calls: list = []
+    orig = st.IncrementalDedupe._read_bands_old
+
+    def spy(self, spark_, batch_id, bh_buckets):
+        calls.append(bh_buckets)
+        return orig(self, spark_, batch_id, bh_buckets)
+
+    monkeypatch.setattr(st.IncrementalDedupe, "_read_bands_old", spy)
+    b1 = spark.createDataFrame(
+        [("u:probe", "a single fresh page of novel words " * 20)],
+        "url string, text string",
+    )
+    inc.process_batch(b1, batch_id=1)
+    assert calls, "band probe did not go through the pruned reader"
+    # one doc emits n_bands=32 band hashes -> at most 32 of 64 buckets
+    assert all(
+        b is not None and 0 < len(b) <= 32 for b in calls
+    ), f"unpruned band reads: {[len(b) if b else b for b in calls]}"
+
+    df = inc._read_bands_old(spark, batch_id=99, bh_buckets=[0, 1])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bhbucket" in pf
+
+
+def test_bloom_shard_reads_are_bucket_pruned(spark, tmp_path):
+    """The seen-probe's filter I/O and driver memory are O(batch buckets):
+    _load_bloom returns only the requested buckets' shards and the shard
+    read's plan prunes at the bucket partition level."""
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_shards"), CFG)
+    b0 = spark.createDataFrame(
+        [(f"u:{i}", f"wholly distinct page number {i} content " * 20)
+         for i in range(20)],
+        "url string, text string",
+    )
+    inc.process_batch(b0, batch_id=0)
+    all_buckets = list(range(inc.n_label_buckets))
+    shards = inc._load_bloom(spark, exclude_batch=99, buckets=all_buckets)
+    assert shards is not None and shards  # complete, sharded, non-empty
+    some_bucket = sorted(shards)[0]
+    sub = inc._load_bloom(spark, exclude_batch=99, buckets=[some_bucket])
+    assert set(sub) == {some_bucket}  # driver holds ONLY requested shards
+    nbytes = (inc.shard_bits + 7) // 8
+    assert all(v.nbytes == nbytes for v in sub.values())
+
+    df = inc._bloom_rows_df(spark, [0], [some_bucket])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in pf
+
+
+def test_compaction_crash_between_sigs_and_bloom_recovers(spark, tmp_path):
+    """Round-4 ADVICE: a crash after the sigs merge but before the bloom
+    merge used to disable the sidecar permanently (the partition sets never
+    matched again, so bloom compaction was skipped forever and _load_bloom's
+    completeness check failed forever). The backfill now rebuilds the missing
+    sentinel shards from the compacted sigs ids and the sidecar stays
+    complete."""
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_sbc"), CFG)
+    texts = {}
+    for b in range(3):
+        texts[b] = f"wholly separate page number {b} " * 25
+        df = spark.createDataFrame(
+            [(f"u:{b}", texts[b])], "url string, text string"
+        )
+        inc.process_batch(df, batch_id=b)
+    # crash window: sigs merged to the sentinel, bloom untouched
+    ids = [b for b in inc._list_batch_parts(spark, inc.sigs_path) if b < 2]
+    inc._compact_table(spark, inc.sigs_path, "sigs", ids, ("bucket",))
+    assert sorted(inc._list_batch_parts(spark, inc.sigs_path)) == [-1, 2]
+    assert sorted(inc._list_batch_parts(spark, inc.bloom_path)) == [0, 1, 2]
+
+    inc.compact_state()
+    # the sidecar is complete again (sentinel rebuilt from sigs ids) ...
+    shards = inc._load_bloom(
+        spark, exclude_batch=99, buckets=list(range(inc.n_label_buckets))
+    )
+    assert shards is not None
+    # ... and correct: a re-seen batch-0 id is still dropped
+    out = inc.process_batch(
+        spark.createDataFrame([("u:0", texts[0])], "url string, text string"),
+        batch_id=9,
+    )
+    assert out.count() == 0
+    sigs = spark.read.parquet(inc.sigs_path)
+    assert sigs.filter(F.col("id") == "u:0").count() == 1
+
+
+def test_committed_replay_of_all_reseen_batch(spark, tmp_path):
+    """A committed batch that signed NOTHING (every id re-seen) leaves a
+    0-row sigs partition; an at-least-once replay of it must re-emit the
+    same empty result instead of dying on schema inference."""
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_empty"), CFG)
+    text = "shared boilerplate tokens " * 30
+    b0 = spark.createDataFrame([("u:r", text)], "url string, text string")
+    inc.process_batch(b0, batch_id=0)
+    b1 = spark.createDataFrame([("u:r", text)], "url string, text string")
+    out1 = inc.process_batch(b1, batch_id=1)
+    assert out1.count() == 0
+    out2 = inc.process_batch(b1, batch_id=1)  # committed replay
+    assert out2.count() == 0
+    labels = spark.read.parquet(inc.labels_path)
+    assert labels.count() == 1
