@@ -104,6 +104,32 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score_cols(_t(spark, sf_dir, "documents"))
 
 
+# GPT-2-style pre-tokenizer pieces: contraction suffixes, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation runs.
+# Whitespace between matches is skipped (never a token). Explicit whitespace
+# class [ \t\n\r\f] instead of \s — Java \s and RE2 \s disagree on \x0B, the
+# documented cross-runtime divergence class (see _q_doc_fingerprint).
+# Both Java regex and DuckDB's RE2 use leftmost-first alternation, so match
+# counts agree by construction.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \t\n\r\fa-zA-Z0-9]+"
+
+
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: BPE-ish token counting — the number of GPT-2-style
+    pre-tokenizer pieces per document (the budgeting statistic an LLM data
+    pipeline needs BEFORE running a real tokenizer), next to the whitespace
+    token count for comparison. Pure JVM regexp_count — whole-stage codegen,
+    no Python on the hot path."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        token_count_col(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # with_lang_id tokenizes once (staged projections); lang_id_col would
@@ -439,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "normalize_project": _q_normalize,
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "rep_per_group": _q_rep_per_group,
@@ -493,6 +520,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": rf"""
             SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \t\n\r\fa-zA-Z0-9]+'))::BIGINT
+                       AS n_bpe_tokens,
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))::BIGINT
+                       AS n_ws_tokens
+            FROM documents
         """,
         "quality_score": rf"""
             WITH t AS (

@@ -178,8 +178,18 @@ def queries_pool() -> None:
             ).stdout.strip()
             or "dev"
         )
+        # docs/bench-artifact edits don't change the engine — only source
+        # paths participating in query execution mark the pool key dirty
         dirty = subprocess.run(
-            ["git", "status", "--porcelain"],
+            [
+                "git",
+                "status",
+                "--porcelain",
+                "--",
+                "fuzzy_dedupe_pipeline_spark",
+                "bench.py",
+                "__spark_entry__.py",
+            ],
             capture_output=True,
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),

@@ -181,3 +181,19 @@ def test_bucketed_band_self_join_no_shuffle(spark, tmp_path):
     got = {(r.id1, r.id2) for r in pairs.collect()}
     assert got == want
     spark.sql("DROP TABLE IF EXISTS lsh_bands_test")
+
+
+def test_bpe_token_count_stays_jvm_side(spark):
+    """The BPE-piece counter is one JVM projection over the scan — no Python
+    evaluation node, no shuffle, only (doc_id, text) read. (The whitespace
+    twin's higher-order filter lambda keeps the Project out of whole-stage
+    codegen, but it is still Catalyst expression evaluation, not Python.)"""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["bpe_token_count"](spark, SF)
+    plan = _plan(df)
+    assert "EvalPython" not in plan  # Arrow/Batch Python nodes = slow path
+    assert "Exchange" not in plan  # pure projection, no shuffle
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema  # column pruning held
