@@ -36,7 +36,9 @@ from fuzzy_dedupe_pipeline_spark.textstats import (
     with_lang_id,
     ngram_jaccard_pairs,
     quality_score_cols,
+    repetition_stats,
     token_count_col,
+    top_ngrams,
 )
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -135,6 +137,20 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with_lang_id tokenizes once (staged projections); lang_id_col would
     # re-split the text once per language in a single expression tree
     return with_lang_id(d, text_col="text").select("doc_id", "lang_pred")
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: Gopher-style repetition filter signals — per-doc
+    duplicate-token and duplicate-bigram fractions as pure JVM array
+    expressions (map-only: no shuffle, no Python)."""
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: corpus-level boilerplate discovery — the 20 most
+    frequent adjacent-token bigrams (count DESC, gram ASC), one partial-agg
+    shuffle + top-k heap."""
+    return top_ngrams(_t(spark, sf_dir, "documents"), k=20)
 
 
 def _q_rep_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
         "quality_score": _q_quality,
+        "repetition_stats": _q_repetition_stats,
+        "top_ngrams": _q_top_ngrams,
         "lang_id": _q_lang_id,
         "rep_per_group": _q_rep_per_group,
         "cluster_stats": _q_cluster_stats,
@@ -550,6 +568,41 @@ def oracle_sql() -> dict[str, str]:
                    + (CASE WHEN sw_hits / NULLIF(n_tokens,0)::DOUBLE >= 0.01 THEN 0.2 ELSE 0.0 END)
                    + (CASE WHEN n_chars = 0 OR punct / n_chars::DOUBLE <= 0.2 THEN 0.1 ELSE 0.0 END), 6) AS quality_score
             FROM t
+        """,
+        "repetition_stats": rf"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS tk FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     len(tk)::BIGINT AS n,
+                     len(list_distinct(tk))::BIGINT AS nd,
+                     CASE WHEN len(tk) >= 2 THEN
+                       list_transform(generate_series(1, len(tk) - 1),
+                                      i -> tk[i] || ' ' || tk[i + 1])
+                     ELSE [] END AS bg
+              FROM t
+            )
+            SELECT doc_id,
+                   n AS n_tokens,
+                   nd AS n_distinct_tokens,
+                   round(CASE WHEN n > 0 THEN 1.0 - nd / n::DOUBLE ELSE 0.0 END, 6) AS dup_token_ratio,
+                   round(CASE WHEN len(bg) > 0 THEN 1.0 - len(list_distinct(bg)) / len(bg)::DOUBLE ELSE 0.0 END, 6) AS dup_bigram_ratio
+            FROM s
+        """,
+        "top_ngrams": rf"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS tk FROM documents
+            ), g AS (
+              SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+                       list_transform(generate_series(1, len(tk) - 1),
+                                      i -> tk[i] || ' ' || tk[i + 1])
+                     ELSE [] END) AS gram
+              FROM t
+            )
+            SELECT gram, count(*)::BIGINT AS n_occurrences
+            FROM g GROUP BY gram
+            ORDER BY n_occurrences DESC, gram ASC
+            LIMIT 20
         """,
         "lang_id": rf"""
             WITH t AS (

@@ -43,6 +43,8 @@ N_SCALING = int(os.environ.get("BENCH_SCALING_DOCS", "120000"))
 BENCH_QUERIES = [
     "exact_dedup",
     "quality_score",
+    "repetition_stats",
+    "top_ngrams",
     "lang_id",
     "trigram_jaccard_pairs",
     "ann_cosine_topk",
@@ -333,7 +335,13 @@ def _pair_reports(n: int, pool: dict[str, list[float]]) -> list[dict]:
     separate worker JVMs — the multi-executor evidence the rule asks for.
     """
     reports = []
-    for lo, hi in (("2", "8"), ("8", "32"), ("1x8", "4x8"), ("1x4", "4x4")):
+    for lo, hi in (
+        ("2", "8"),
+        ("8", "32"),
+        ("1x2", "4x2"),
+        ("1x8", "4x8"),
+        ("1x4", "4x4"),
+    ):
         rl, rh = pool.get(lo), pool.get(hi)
         if not rl or not rh:
             continue

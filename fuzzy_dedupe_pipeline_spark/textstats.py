@@ -190,6 +190,89 @@ def doc_fingerprints(
     )
 
 
+def token_bigrams(toks: Column) -> Column:
+    """Adjacent-token bigram strings off an already-tokenized array column —
+    `transform(sequence(1, n-1), i -> tok[i] || ' ' || tok[i+1])`, the exact
+    shape DuckDB's `list_transform(generate_series(...))` oracle uses.
+
+    Guarded for n < 2: Spark's `sequence(1, 0)` yields the DESCENDING [1, 0]
+    (step defaults to -1 when start > stop), which would fabricate a bogus
+    bigram from tok[0]/tok[1]; short docs must yield an empty array."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style per-document repetition signals: the fraction of tokens
+    (and of adjacent-token bigrams) that are repeats of an earlier occurrence
+    — `1 - distinct/total`. Boilerplate-heavy and templated web pages score
+    high and get filtered before training; the published Gopher rules cut at
+    dup-ngram fractions in the 0.1-0.2 band.
+
+    Pure JVM array expressions (`array_distinct` inside whole-stage codegen):
+    per-row work only, NO shuffle — at 100 TB this runs as a map-only pass
+    over the scan, unlike an explode+groupBy formulation which would shuffle
+    every token. Tokenize-once staged projection, same pattern as
+    quality_score_cols."""
+    staged = df.select(
+        F.col(id_col), tokens_simple(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size(F.col("_toks")).alias("_n"),
+        F.size(F.array_distinct(F.col("_toks"))).alias("_nd"),
+        token_bigrams(F.col("_toks")).alias("_bg"),
+    ).select(
+        F.col(id_col),
+        F.col("_n"),
+        F.col("_nd"),
+        F.size(F.col("_bg")).alias("_nb"),
+        F.size(F.array_distinct(F.col("_bg"))).alias("_nbd"),
+    )
+    n, nd, nb, nbd = (F.col(c) for c in ("_n", "_nd", "_nb", "_nbd"))
+    return staged.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct_tokens"),
+        F.round(F.when(n > 0, 1.0 - nd / n).otherwise(F.lit(0.0)), 6).alias(
+            "dup_token_ratio"
+        ),
+        F.round(F.when(nb > 0, 1.0 - nbd / nb).otherwise(F.lit(0.0)), 6).alias(
+            "dup_bigram_ratio"
+        ),
+    )
+
+
+def top_ngrams(
+    df: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level top-k most frequent adjacent-token bigrams — the
+    boilerplate-discovery aggregate a web pipeline runs to find nav bars,
+    cookie banners and footer templates worth stripping before dedup.
+
+    explode -> groupBy(gram).count() is ONE shuffle with map-side partial
+    aggregation (hash-combine per task before exchange), then a k-row
+    TakeOrderedAndProject — the per-partition top-k heap means no global
+    sort materializes. Deterministic under ties: ordered by (count DESC,
+    gram ASC)."""
+    grams = df.select(
+        F.explode(token_bigrams(tokens_simple(F.col(text_col)))).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

@@ -197,3 +197,30 @@ def test_bpe_token_count_stays_jvm_side(spark):
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema  # column pruning held
+
+
+def test_repetition_stats_is_map_only(spark):
+    """The repetition filter must run as a map-only JVM pass over the scan:
+    no shuffle, no Python node — at 100 TB an explode+groupBy formulation
+    would shuffle every token of every document."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["repetition_stats"](spark, SF)
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema
+
+
+def test_top_ngrams_partial_agg_and_topk_heap(spark):
+    """Corpus bigram frequencies: map-side partial aggregate before the one
+    exchange, and the global top-k must be TakeOrderedAndProject (bounded
+    per-partition heaps), never a full Sort of the gram dictionary."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["top_ngrams"](spark, SF))
+    before, _, after = plan.partition("Exchange")
+    assert "HashAggregate" in before and "HashAggregate" in after
+    assert "TakeOrderedAndProject" in plan

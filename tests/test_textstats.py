@@ -84,3 +84,36 @@ def test_simhash_hot_chunk_cap(spark):
         clean, DedupeConfig(max_band_bucket=5000), max_hamming=3
     )
     assert full.count() == 30 * 29 // 2
+
+
+def test_repetition_stats_exact_values(spark):
+    from fuzzy_dedupe_pipeline_spark.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # 5 toks / 3 distinct; bigrams: ab,ba,ab,bc -> 4/3
+            (2, "one"),          # single token: no bigrams
+            (3, ""),             # empty
+            (4, "x x x x"),     # maximal repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].n_tokens == 5 and out[1].n_distinct_tokens == 3
+    assert abs(out[1].dup_token_ratio - (1 - 3 / 5)) < 1e-9
+    assert abs(out[1].dup_bigram_ratio - (1 - 3 / 4)) < 1e-9
+    # n<2 guard: sequence(1,0) must NOT fabricate a descending-range bigram
+    assert out[2].dup_bigram_ratio == 0.0 and out[3].dup_bigram_ratio == 0.0
+    assert out[4].dup_token_ratio == 0.75
+    assert abs(out[4].dup_bigram_ratio - 2 / 3) < 1e-6  # column rounds to 6dp
+
+
+def test_top_ngrams_deterministic_ties(spark):
+    from fuzzy_dedupe_pipeline_spark.textstats import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "b c"), (2, "a b"), (3, "a b"), (4, "b c")],
+        "doc_id long, text string",
+    )
+    got = top_ngrams(df, k=2).collect()
+    assert [(r.gram, r.n_occurrences) for r in got] == [("a b", 2), ("b c", 2)]
