@@ -31,6 +31,8 @@ from fuzzy_dedupe_pipeline_spark.similarity import (
     ivf_topk,
     lsh_ann_topk,
 )
+from fuzzy_dedupe_pipeline_spark.linededup import remove_boilerplate
+from fuzzy_dedupe_pipeline_spark.urltools import url_dup_stats
 from fuzzy_dedupe_pipeline_spark.textstats import (
     doc_fingerprints,
     with_lang_id,
@@ -151,6 +153,75 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent adjacent-token bigrams (count DESC, gram ASC), one partial-agg
     shuffle + top-k heap."""
     return top_ngrams(_t(spark, sf_dir, "documents"), k=20)
+
+
+def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-0 webtext op: URL canonicalization + per-canonical-URL crawl
+    collapse (urltools.canonical_url_col / url_dup_stats — pure JVM regex
+    expressions, one groupBy shuffle on the short canonical key).
+
+    The messy URLs are synthesized deterministically from doc_id so the
+    oracle is analytic: it computes the canonical form DIRECTLY from doc_id
+    arithmetic (never running a second regex implementation), so any
+    mishandled variant — case, default port, www., trailing dot/slash,
+    duplicate slashes, fragment, tracking params, query-param order — splits
+    the group key and fails the value hash. k%7 × k%13 path collisions give
+    real multi-crawl groups (lcm 91 << 500 docs)."""
+    k = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    scheme = F.when(k % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://"))
+    host = (
+        F.when(k % 3 == 0, F.concat(F.lit("WWW.Site"), s(k % 7), F.lit(".COM")))
+        .when(k % 3 == 1, F.concat(F.lit("site"), s(k % 7), F.lit(".com:443")))
+        .otherwise(F.concat(F.lit("Site"), s(k % 7), F.lit(".com.")))
+    )
+    path = F.when(
+        k % 4 == 0, F.concat(F.lit("//p//"), s(k % 13), F.lit("/"))
+    ).otherwise(F.concat(F.lit("/p/"), s(k % 13)))
+    qs = (
+        F.when(k % 5 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(k % 5 == 1, F.lit("?a=1&b=2"))
+        .when(k % 5 == 2, F.lit("?b=2&a=1&fbclid=zz"))
+        .when(k % 5 == 3, F.lit(""))
+        .otherwise(F.lit("?a=1&b=2#frag"))
+    )
+    pages = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(F.concat(scheme, host, path, qs).alias("url"))
+    )
+    return url_dup_stats(pages)
+
+
+# planted boilerplate lines for the remove_boilerplate gate — shared between
+# the Spark construction and the DuckDB oracle (must stay byte-identical)
+_BOILER_NAV = "nav home products about contact"
+_BOILER_COPY = "copyright example corp all rights reserved"
+_BOILER_SUB = "subscribe to our newsletter"
+
+
+def _q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webtext op: corpus-level boilerplate line removal (linededup) — lines
+    occurring in >= max(2, n_docs/8) distinct docs are deleted from every
+    doc, surviving-line order preserved. Multi-line docs are synthesized
+    deterministically: a nav line in every doc, a copyright line in 1/3,
+    a subscribe line in 1/7 (all above the 1/8 threshold -> removed) and two
+    unique content slices of the doc's own text (below it -> kept)."""
+    d = _t(spark, sf_dir, "documents")
+    k, c = F.col("doc_id"), F.col("text")
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(_BOILER_NAV),
+            F.substring(c, 1, 80),
+            F.when(k % 3 == 0, F.lit(_BOILER_COPY)),
+            F.substring(c, 81, 80),
+            F.when(k % 7 == 0, F.lit(_BOILER_SUB)),
+        ).alias("text"),
+    )
+    n = d.count()
+    return remove_boilerplate(built, min_docs=max(2, n // 8))
 
 
 def _q_rep_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition_stats,
         "top_ngrams": _q_top_ngrams,
+        "url_canonical_dedup": _q_url_canonical_dedup,
+        "remove_boilerplate": _q_remove_boilerplate,
         "lang_id": _q_lang_id,
         "rep_per_group": _q_rep_per_group,
         "cluster_stats": _q_cluster_stats,
@@ -603,6 +676,65 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY gram
             ORDER BY n_occurrences DESC, gram ASC
             LIMIT 20
+        """,
+        "url_canonical_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' || (doc_id % 7) || '.COM'
+                         WHEN doc_id % 3 = 1 THEN 'site' || (doc_id % 7) || '.com:443'
+                         ELSE 'Site' || (doc_id % 7) || '.com.' END)
+                || (CASE WHEN doc_id % 4 = 0 THEN '//p//' || (doc_id % 13) || '/'
+                         ELSE '/p/' || (doc_id % 13) END)
+                || (CASE doc_id % 5 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+                         WHEN 1 THEN '?a=1&b=2'
+                         WHEN 2 THEN '?b=2&a=1&fbclid=zz'
+                         WHEN 3 THEN ''
+                         ELSE '?a=1&b=2#frag' END) AS url,
+                -- analytic canonical form straight from the arithmetic: the
+                -- oracle never runs a second regex canonicalizer
+                'site' || (doc_id % 7) || '.com/p/' || (doc_id % 13)
+                || (CASE WHEN doc_id % 5 = 3 THEN '' ELSE '?a=1&b=2' END)
+                  AS canonical_url
+              FROM documents
+            )
+            SELECT canonical_url, min(url) AS rep_url,
+                   count(*)::BIGINT AS n_crawls
+            FROM u GROUP BY canonical_url
+        """,
+        "remove_boilerplate": """
+            WITH built AS (
+              SELECT doc_id, concat_ws(chr(10),
+                'nav home products about contact',
+                substr(text, 1, 80),
+                CASE WHEN doc_id % 3 = 0
+                     THEN 'copyright example corp all rights reserved' END,
+                substr(text, 81, 80),
+                CASE WHEN doc_id % 7 = 0
+                     THEN 'subscribe to our newsletter' END) AS text
+              FROM documents
+            ), doc_lines AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS lines
+              FROM built
+            ), freq AS (
+              SELECT l AS line
+              FROM (SELECT DISTINCT doc_id, unnest(lines) AS l FROM doc_lines)
+              GROUP BY l
+              HAVING count(*) >= greatest(2, (SELECT count(*) FROM documents) // 8)
+            ), boiler AS (
+              SELECT coalesce(list(line ORDER BY line), []) AS b FROM freq
+            )
+            SELECT doc_id,
+                   array_to_string(list_filter(lines, x -> NOT list_contains(b, x)),
+                                   chr(10)) AS text_clean,
+                   len(lines)::BIGINT AS n_lines,
+                   (len(lines)
+                    - len(list_filter(lines, x -> NOT list_contains(b, x))))::BIGINT
+                     AS n_removed
+            FROM doc_lines, boiler
         """,
         "lang_id": rf"""
             WITH t AS (

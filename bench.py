@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "quality_score",
     "repetition_stats",
     "top_ngrams",
+    "url_canonical_dedup",
+    "remove_boilerplate",
     "lang_id",
     "trigram_jaccard_pairs",
     "ann_cosine_topk",

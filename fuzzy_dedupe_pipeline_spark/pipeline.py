@@ -37,9 +37,11 @@ from fuzzy_dedupe_pipeline_spark.metrics import MetricsLog, StageTimer
 from fuzzy_dedupe_pipeline_spark.minhash import with_signatures
 from fuzzy_dedupe_pipeline_spark.normalize import ingest_pages, tokens_raw_col
 from fuzzy_dedupe_pipeline_spark.substring import substring_candidates
+from fuzzy_dedupe_pipeline_spark.urltools import url_tier_dedup
 from fuzzy_dedupe_pipeline_spark.verify import verify_pairs
 
 STAGES = [
+    "00_url_dedup",  # optional tier 0 (url_tier=True)
     "00_pages_clean",
     "01_exact_edges",
     "02_sigs",
@@ -60,12 +62,14 @@ class DedupePipeline:
         run_id: str | None = None,
         resume: bool = True,
         lineage: bool = True,
+        url_tier: bool = False,
     ):
         self.spark = spark
         self.out_dir = out_dir.rstrip("/")
         self.cfg = cfg
         self.resume = resume
         self.lineage = lineage
+        self.url_tier = url_tier
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.metrics = MetricsLog(spark, self.out_dir, self.run_id)
         self.recomputed: list[str] = []
@@ -117,6 +121,19 @@ class DedupePipeline:
         # stages serialized onto one core); the stage write then produces
         # defaultParallelism splittable files for every downstream stage
         par = self.spark.sparkContext.defaultParallelism
+
+        if self.url_tier:
+            # tier 0: collapse recrawls of the same canonical URL to the
+            # latest crawl BEFORE any text is extracted or tokenized — the
+            # cheapest tier (one groupBy on a short key, html untouched) and
+            # the one that shrinks every stage below it. Recrawls are the
+            # same resource, not duplicates to cluster, so they are dropped
+            # here rather than edged.
+            in_cols = list(pages.columns)
+            pages = self._run_stage(
+                "00_url_dedup", lambda: url_tier_dedup(pages).select(*in_cols)
+            )
+
         meta_cols = [c for c in ("warc_ts", "lang") if c in pages.columns]
         pages_clean = self._run_stage(
             "00_pages_clean",

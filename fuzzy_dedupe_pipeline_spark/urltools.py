@@ -1,0 +1,118 @@
+"""URL canonicalization + URL-tier dedup for Common-Crawl-style pages.
+
+Tier 0 of the dedup cascade: before any text ever gets tokenized, collapse
+rows that are the *same resource* crawled more than once — recrawls, scheme /
+case / default-port / tracking-param / trailing-slash variants of one URL.
+At 10^12 crawl records this is the cheapest tier by far (one groupBy on a
+short string key, no text touched) and it shrinks every downstream stage.
+
+Everything here is pure JVM column expressions (whole-stage codegen; never a
+Python UDF) built from regexes simple enough that Java regex and DuckDB's RE2
+agree token-for-token — that is what makes the `url_canonical_dedup` oracle
+row in __spark_entry__ an exact value-level parity check.
+
+Canonical form (the dedup key — not a fetchable URL):
+  * scheme dropped (http/https variants of one resource are one resource)
+  * host lowercased, leading "www." and trailing "." stripped
+  * default ports 80/443 dropped, other ports kept
+  * path: duplicate slashes collapsed, trailing "/" stripped ("" stays "")
+  * fragment dropped
+  * query: tracking params removed (utm_*, fbclid, gclid, msclkid, mc_eid,
+    igshid, ref), empty params removed, the rest byte-sorted and rejoined
+
+The reference dedupes spreadsheet contact rows and has no URL concept; this
+tier exists because the north-rule input is a crawl table keyed by url
+(pages(url, warc_ts, html, text, lang)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# params that identify a campaign, not a resource
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
+
+# RE2-safe building blocks (no backrefs, no lookarounds)
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def _strip_scheme(c: Column) -> Column:
+    return F.regexp_replace(c, _SCHEME_RE, "")
+
+
+def canonical_url_col(c: Column) -> Column:
+    """Canonical dedup key for a URL column. NULL-safe (NULL -> NULL)."""
+    u = F.regexp_replace(_strip_scheme(c), r"#.*$", "")  # drop fragment
+    hostport = F.lower(F.regexp_extract(u, r"^([^/?]*)", 1))
+    rest = F.substring(u, F.length(hostport) + 1, F.lit(2147483647))
+    # host: lowercase, strip www. and trailing dot; drop default ports only
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r"\.$", "")
+    keep_port = (port != "") & (port != "80") & (port != "443")
+    hostc = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+    # path: collapse //+, strip trailing slash
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"/$", "")
+    # query: split, drop tracking + empties, sort, rejoin
+    q = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda kv: (kv != "") & ~kv.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qc = F.concat_ws("&", kept)
+    canon = F.concat(
+        hostc,
+        path,
+        F.when(qc != "", F.concat(F.lit("?"), qc)).otherwise(F.lit("")),
+    )
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(canon)
+
+
+def with_canonical_url(
+    pages: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    return pages.withColumn(out_col, canonical_url_col(F.col(url_col)))
+
+
+def url_tier_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Keep ONE row per canonical URL: the latest crawl (max ts), ties broken
+    by min original url — deterministic under recrawl storms.
+
+    One shuffle on the canonical key (short string), arg-max via window over
+    that same partitioning — no second shuffle. At crawl scale the key is
+    near-unique so AQE keeps partitions balanced; a hot canonical URL (a page
+    recrawled millions of times) is bounded by the crawler's politeness rate,
+    not by corpus size, so no salt is needed on this tier.
+    """
+    d = with_canonical_url(pages, url_col)
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col(ts_col).desc(), F.col(url_col).asc()
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def url_dup_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-canonical-URL crawl multiplicity: rep (min url) + n_crawls.
+    The funnel metric for tier 0 (how much the URL tier removed)."""
+    return (
+        with_canonical_url(pages, url_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.min(url_col).alias("rep_url"),
+            F.count("*").cast("long").alias("n_crawls"),
+        )
+    )

@@ -1,0 +1,72 @@
+"""Corpus-level boilerplate line removal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fuzzy_dedupe_pipeline_spark.linededup import frequent_lines, remove_boilerplate
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_removes_frequent_preserves_order(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "nav\nalpha\nfooter\nbeta"),
+            (2, "nav\ngamma\nfooter"),
+            (3, "nav\ndelta"),
+        ],
+    )
+    out = {
+        r.doc_id: (r.text_clean, r.n_lines, r.n_removed)
+        for r in remove_boilerplate(docs, min_docs=2).collect()
+    }
+    assert out == {
+        1: ("alpha\nbeta", 4, 2),
+        2: ("gamma", 3, 2),
+        3: ("delta", 2, 1),
+    }
+
+
+def test_internal_repetition_counts_one_doc(spark):
+    # a line repeated 5x INSIDE one doc is still df=1 -> not boilerplate
+    docs = _docs(
+        spark,
+        [(1, "spam\nspam\nspam\nspam\nspam"), (2, "other")],
+    )
+    assert frequent_lines(docs, min_docs=2).count() == 0
+    out = remove_boilerplate(docs, min_docs=2).filter(F.col("doc_id") == 1).first()
+    assert out.text_clean == "spam\nspam\nspam\nspam\nspam"
+    assert out.n_removed == 0
+
+
+def test_all_boilerplate_doc_survives_empty(spark):
+    docs = _docs(spark, [(1, "nav"), (2, "nav"), (3, "nav\nkeep")])
+    out = {r.doc_id: r.text_clean for r in remove_boilerplate(docs, min_docs=3).collect()}
+    assert out == {1: "", 2: "", 3: "keep"}
+
+
+def test_blank_lines_ignored(spark):
+    docs = _docs(spark, [(1, "a\n\n  \nb"), (2, "c")])
+    row = remove_boilerplate(docs, min_docs=2).filter(F.col("doc_id") == 1).first()
+    assert (row.text_clean, row.n_lines) == ("a\nb", 2)
+
+
+def test_filter_is_broadcast_not_join(spark):
+    # the per-doc rewrite must be map-side: the only join in the plan is the
+    # 1-row broadcast of the collected boilerplate set — no SortMergeJoin,
+    # no explode/re-assembly of the corpus
+    docs = _docs(spark, [(1, "a\nb"), (2, "a")])
+    plan = (
+        remove_boilerplate(docs, min_docs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") == 1  # one explode (the frequency count side)

@@ -86,6 +86,38 @@ def test_output_shape(run):
     assert (singles.confidence_score == 1.0).all()
 
 
+def test_url_tier_collapses_recrawls(run, spark, pages_df, tmp_path_factory):
+    """Tier 0 end-to-end: the corpus plus a stale recrawl of every page
+    (tracking-param/scheme-case URL variant, earlier warc_ts, garbage text)
+    must produce EXACTLY the clean corpus's clusters when url_tier=True —
+    the stale crawls collapse to the latest before text extraction, so they
+    can neither appear in the output nor edge anything."""
+    import pyspark.sql.functions as F
+
+    _, clusters, _ = run
+    stale = pages_df.select(
+        F.concat(
+            F.lit("HTTP://"),
+            F.regexp_replace("url", r"^https://", ""),
+            F.lit("?utm_source=recrawl"),
+        ).alias("url"),
+        (F.col("warc_ts") - F.expr("INTERVAL 30 DAYS")).alias("warc_ts"),
+        F.col("html"),
+        F.lit("stale recrawl body that must never reach the dedup tiers").alias(
+            "text"
+        ),
+        F.col("lang"),
+    )
+    noisy = pages_df.unionByName(stale)
+    out = str(tmp_path_factory.mktemp("pipe_url"))
+    p = DedupePipeline(spark, out, DedupeConfig(), run_id="t3", url_tier=True)
+    got = p.run(noisy).toPandas()
+    assert "00_url_dedup" in p.recomputed
+    a = clusters.sort_values("url").reset_index(drop=True)
+    b = got.sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_resume_skips_and_matches(run, spark, pages_df):
     _, clusters, out = run
     p2 = DedupePipeline(spark, out, DedupeConfig(), run_id="t2")

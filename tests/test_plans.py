@@ -214,6 +214,39 @@ def test_repetition_stats_is_map_only(spark):
     assert "lang" not in read_schema
 
 
+def test_url_canonical_dedup_one_shuffle_partial_agg(spark):
+    """Tier 0 is one groupBy on the canonical key: the regex canonicalizer
+    is pure JVM expression evaluation (no Python node) and the count/min
+    aggregate combines map-side before the single exchange."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["url_canonical_dedup"](spark, SF))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1
+    before, _, after = plan.partition("Exchange")
+    # min(string) is not hash-aggregable, so Spark picks SortAggregate —
+    # the contract is the partial_min/partial_count combine on the map side
+    # of the exchange, whatever the aggregate impl. (The plan string prints
+    # top-down, so the map side is the text AFTER the Exchange line.)
+    assert "partial_min" in after and "partial_count" in after
+    assert "Aggregate" in before
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_remove_boilerplate_rewrite_is_map_side(spark):
+    """The per-doc rewrite must not explode the corpus: one Generate (the
+    frequency-count side only), the boilerplate set arrives by broadcast
+    (never SortMergeJoin), and no Python node anywhere."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["remove_boilerplate"](spark, SF))
+    assert "EvalPython" not in plan
+    assert plan.count("Generate") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
 def test_top_ngrams_partial_agg_and_topk_heap(spark):
     """Corpus bigram frequencies: map-side partial aggregate before the one
     exchange, and the global top-k must be TakeOrderedAndProject (bounded

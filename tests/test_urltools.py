@@ -1,0 +1,83 @@
+"""URL canonicalization + tier-0 URL dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fuzzy_dedupe_pipeline_spark.urltools import (
+    canonical_url_col,
+    url_dup_stats,
+    url_tier_dedup,
+)
+
+
+def _canon(spark, urls: list[str | None]) -> list[str | None]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(canonical_url_col(F.col("url")).alias("c")).collect()
+    return [r.c for r in rows]
+
+
+def test_canonical_variants_collapse(spark):
+    variants = [
+        "https://example.com/a/b?a=1&b=2",
+        "HTTP://WWW.Example.COM:80//a//b/?utm_source=tw&b=2&a=1#frag",
+        "https://example.com.:443/a/b/?fbclid=zz&a=1&b=2&",
+        "http://www.EXAMPLE.com/a///b?b=2&a=1",
+    ]
+    assert set(_canon(spark, variants)) == {"example.com/a/b?a=1&b=2"}
+
+
+def test_canonical_preserves_distinctions(spark):
+    # non-default port, different path, different param VALUE, extra param:
+    # all must stay distinct resources
+    urls = [
+        "https://example.com:8080/a/b?a=1&b=2",
+        "https://example.com/a/c?a=1&b=2",
+        "https://example.com/a/b?a=1&b=3",
+        "https://example.com/a/b?a=1&b=2&c=3",
+        "https://other.com/a/b?a=1&b=2",
+    ]
+    got = _canon(spark, urls)
+    assert len(set(got)) == len(urls)
+    assert got[0] == "example.com:8080/a/b?a=1&b=2"
+
+
+def test_canonical_edges(spark):
+    assert _canon(
+        spark,
+        [None, "https://example.com", "https://example.com/?ref=x", "example.com/x"],
+    ) == [None, "example.com", "example.com", "example.com/x"]
+
+
+def test_url_tier_dedup_keeps_latest_crawl(spark):
+    t0 = dt.datetime(2026, 1, 1)
+    t1 = dt.datetime(2026, 2, 1)
+    rows = [
+        ("https://a.com/p?utm_source=x", t0, "old"),
+        ("https://A.com/p", t1, "new"),
+        ("https://a.com/p", t1, "new-tie"),  # same ts: min url wins
+        ("https://b.com/q", t0, "only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = url_tier_dedup(df).orderBy("canonical_url").collect()
+    assert [(r.canonical_url, r.text) for r in out] == [
+        ("a.com/p", "new"),  # t1 beats t0; 'https://A.com/p' < 'https://a.com/p'
+        ("b.com/q", "only"),
+    ]
+    stats = {
+        r.canonical_url: r.n_crawls for r in url_dup_stats(df).collect()
+    }
+    assert stats == {"a.com/p": 3, "b.com/q": 1}
+
+
+def test_url_tier_single_shuffle(spark):
+    # the window argmax must reuse the groupBy partitioning: exactly one
+    # Exchange in the whole tier
+    t0 = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("https://a.com/p", t0, "x")], "url string, warc_ts timestamp, text string"
+    )
+    plan = url_tier_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
