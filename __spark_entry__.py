@@ -32,6 +32,7 @@ from fuzzy_dedupe_pipeline_spark.similarity import (
     lsh_ann_topk,
 )
 from fuzzy_dedupe_pipeline_spark.linededup import remove_boilerplate
+from fuzzy_dedupe_pipeline_spark.pii import redact_pii
 from fuzzy_dedupe_pipeline_spark.urltools import url_dup_stats
 from fuzzy_dedupe_pipeline_spark.textstats import (
     doc_fingerprints,
@@ -222,6 +223,45 @@ def _q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.count()
     return remove_boilerplate(built, min_docs=max(2, n // 8))
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webtext op: PII redaction (pii.redact_pii) — emails, phones, IPv4
+    replaced with typed tokens and counted, one map-only JVM regex pass.
+    PII strings are planted deterministically from doc_id (an email in 1/4
+    of docs, a phone in 1/4, an IPv4 in 1/4, nothing in the rest); the
+    DuckDB oracle runs the byte-identical RE2-compatible patterns, so the
+    parity check covers replace/count semantics end to end."""
+    d = _t(spark, sf_dir, "documents")
+    k, c = F.col("doc_id"), F.col("text")
+    s = lambda col: col.cast("string")
+    planted = F.concat(
+        c,
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit(" contact user"), s(k % 50), F.lit("@example.com now")
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lit(" call (555) 123-"), F.lpad(s(k % 10000), 4, "0")
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(
+                F.lit(" server 192.168."),
+                s(k % 256),
+                F.lit("."),
+                s(k % 254),
+                F.lit(" up"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    return redact_pii(d.select("doc_id", planted.alias("text")))
 
 
 def _q_rep_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "remove_boilerplate": _q_remove_boilerplate,
+        "pii_scrub": _q_pii_scrub,
         "lang_id": _q_lang_id,
         "rep_per_group": _q_rep_per_group,
         "cluster_stats": _q_cluster_stats,
@@ -735,6 +776,38 @@ def oracle_sql() -> dict[str, str]:
                     - len(list_filter(lines, x -> NOT list_contains(b, x))))::BIGINT
                      AS n_removed
             FROM doc_lines, boiler
+        """,
+        # pii_scrub: the same RE2-compatible pattern text as pii.py (no
+        # backrefs/lookarounds), same replace order email -> ip -> phone,
+        # counts on the original text per pattern independently
+        "pii_scrub": r"""
+            WITH built AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 4 = 0
+                       THEN ' contact user' || (doc_id % 50) || '@example.com now'
+                     WHEN doc_id % 4 = 1
+                       THEN ' call (555) 123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     WHEN doc_id % 4 = 2
+                       THEN ' server 192.168.' || (doc_id % 256) || '.' || (doc_id % 254) || ' up'
+                     ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                  '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')
+                AS text_redacted,
+              len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                AS n_emails,
+              len(regexp_extract_all(text,
+                  '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT
+                AS n_phones,
+              len(regexp_extract_all(text,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT
+                AS n_ips
+            FROM built
         """,
         "lang_id": rf"""
             WITH t AS (

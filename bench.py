@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "top_ngrams",
     "url_canonical_dedup",
     "remove_boilerplate",
+    "pii_scrub",
     "lang_id",
     "trigram_jaccard_pairs",
     "ann_cosine_topk",

@@ -247,6 +247,19 @@ def test_remove_boilerplate_rewrite_is_map_side(spark):
     assert "Broadcast" in plan
 
 
+def test_pii_scrub_is_map_only(spark):
+    """PII redaction is one JVM regex pass over the scan: no shuffle, no
+    Python node, only (doc_id, text) read."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["pii_scrub"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema
+
+
 def test_top_ngrams_partial_agg_and_topk_heap(spark):
     """Corpus bigram frequencies: map-side partial aggregate before the one
     exchange, and the global top-k must be TakeOrderedAndProject (bounded
