@@ -35,6 +35,7 @@ from fuzzy_dedupe_pipeline_spark.linededup import remove_boilerplate
 from fuzzy_dedupe_pipeline_spark.pii import redact_pii
 from fuzzy_dedupe_pipeline_spark.urltools import url_dup_stats
 from fuzzy_dedupe_pipeline_spark.textstats import (
+    c4_line_filter,
     doc_fingerprints,
     with_lang_id,
     ngram_jaccard_pairs,
@@ -223,6 +224,33 @@ def _q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.count()
     return remove_boilerplate(built, min_docs=max(2, n // 8))
+
+
+def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webtext op: C4-style line-quality filter (textstats.c4_line_filter) —
+    keep lines ending in terminal punctuation with >= 5 words and no code
+    braces / lorem-ipsum, order preserved, one map-only JVM array pass.
+    Multi-line docs are synthesized deterministically with one line per
+    rejection reason plus content slices of the doc's own tokens."""
+    d = _t(spark, sf_dir, "documents")
+    k, c = F.col("doc_id"), F.col("text")
+    toks = F.split(c, " ")
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.concat_ws(" ", F.slice(toks, 1, 10)), F.lit(".")),
+            F.lit("short line."),
+            F.lit("this config block { x: 1 } ends properly."),
+            F.lit("Lorem Ipsum dolor sit amet consectetur adipiscing elit."),
+            F.concat_ws(" ", F.slice(toks, 11, 10)),
+            F.when(
+                k % 2 == 0,
+                F.lit("a good sentence with exactly seven words here."),
+            ),
+        ).alias("text"),
+    )
+    return c4_line_filter(built)
 
 
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "remove_boilerplate": _q_remove_boilerplate,
         "pii_scrub": _q_pii_scrub,
+        "c4_line_filter": _q_c4_line_filter,
         "lang_id": _q_lang_id,
         "rep_per_group": _q_rep_per_group,
         "cluster_stats": _q_cluster_stats,
@@ -776,6 +805,39 @@ def oracle_sql() -> dict[str, str]:
                     - len(list_filter(lines, x -> NOT list_contains(b, x))))::BIGINT
                      AS n_removed
             FROM doc_lines, boiler
+        """,
+        "c4_line_filter": r"""
+            WITH built AS (
+              SELECT doc_id, concat_ws(chr(10),
+                array_to_string((string_split(text, ' '))[1:10], ' ') || '.',
+                'short line.',
+                'this config block { x: 1 } ends properly.',
+                'Lorem Ipsum dolor sit amet consectetur adipiscing elit.',
+                array_to_string((string_split(text, ' '))[11:20], ' '),
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'a good sentence with exactly seven words here.' END
+              ) AS text
+              FROM documents
+            ), doc_lines AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS lines
+              FROM built
+            ), f AS (
+              SELECT doc_id, lines,
+                     list_filter(lines, x ->
+                         regexp_matches(x, '[.!?"]$')
+                         AND len(string_split_regex(x, '[ \t\n\r\f]+')) >= 5
+                         AND NOT contains(x, '{')
+                         AND NOT contains(lower(x), 'lorem ipsum')) AS kept
+              FROM doc_lines
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS text_clean,
+                   len(lines)::BIGINT AS n_lines,
+                   len(kept)::BIGINT AS n_kept
+            FROM f
         """,
         # pii_scrub: the same RE2-compatible pattern text as pii.py (no
         # backrefs/lookarounds), same replace order email -> ip -> phone,

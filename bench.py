@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "url_canonical_dedup",
     "remove_boilerplate",
     "pii_scrub",
+    "c4_line_filter",
     "lang_id",
     "trigram_jaccard_pairs",
     "ann_cosine_topk",

@@ -357,3 +357,46 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
     )
     return pairs, dropped
+
+
+# --- C4-style line-quality filter -----------------------------------------
+
+# the classic C4 (Raffel et al. 2020, §2.2) line heuristics, re-expressed as
+# one map-only JVM array pass: keep a line only if it ends in terminal
+# punctuation, has >= c4_min_words words, and contains neither code braces
+# nor the "lorem ipsum" placeholder. Patterns use explicit whitespace
+# classes (not \s) so Java regex and the DuckDB oracle's RE2 agree.
+C4_MIN_WORDS = 5
+_C4_WS = "[ \\t\\n\\r\\f]+"
+
+
+def c4_keep_line(l: Column, min_words: int = C4_MIN_WORDS) -> Column:
+    return (
+        l.rlike('[.!?"]$')
+        & (F.size(F.split(l, _C4_WS)) >= min_words)
+        & ~l.contains("{")
+        & ~F.lower(l).contains("lorem ipsum")
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_words: int = C4_MIN_WORDS,
+) -> DataFrame:
+    """-> (id_col, text_clean, n_lines, n_kept): per-doc C4 line filter,
+    surviving-line order preserved. Map-only (no shuffle, no Python) — at
+    100 TB this fuses into the scan projection like the other text filters."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    kept = F.filter(lines, lambda l: c4_keep_line(l, min_words))
+    return docs.select(
+        id_col,
+        F.concat_ws(sep, kept).alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )

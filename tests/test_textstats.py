@@ -117,3 +117,47 @@ def test_top_ngrams_deterministic_ties(spark):
     )
     got = top_ngrams(df, k=2).collect()
     assert [(r.gram, r.n_occurrences) for r in got] == [("a b", 2), ("b c", 2)]
+
+
+def test_c4_line_filter_rules(spark):
+    from fuzzy_dedupe_pipeline_spark.textstats import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "\n".join(
+                    [
+                        "this line ends properly with five words.",
+                        "short line.",
+                        "a config block { inside } never survives here.",
+                        "Lorem Ipsum dolor sit amet consectetur elit.",
+                        "no terminal punctuation on this long line",
+                        'he said "quoted endings also count as terminal."',
+                        "does a question mark count as terminal punctuation?",
+                    ]
+                ),
+            ),
+            (2, "everything here fails\n\nx."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    assert out[1].text_clean == "\n".join(
+        [
+            "this line ends properly with five words.",
+            'he said "quoted endings also count as terminal."',
+            "does a question mark count as terminal punctuation?",
+        ]
+    )
+    assert (out[1].n_lines, out[1].n_kept) == (7, 3)
+    assert (out[2].text_clean, out[2].n_lines, out[2].n_kept) == ("", 2, 0)
+
+
+def test_c4_line_filter_map_only_plan(spark):
+    from fuzzy_dedupe_pipeline_spark.textstats import c4_line_filter
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
