@@ -39,9 +39,12 @@ from pyspark.sql import functions as F
 
 
 def lines_col(c: Column, sep: str = "\n") -> Column:
-    """Split into lines, trimmed, empties dropped — the unit of dedup."""
+    """Split into lines, trimmed, empties dropped — the unit of dedup.
+    NULL text -> empty array (not NULL: downstream size()/filter() must see
+    0 lines, never SQL-NULL's -1/NULL propagation)."""
     return F.filter(
-        F.transform(F.split(c, sep), lambda l: F.trim(l)), lambda l: l != ""
+        F.transform(F.split(F.coalesce(c, F.lit("")), sep), lambda l: F.trim(l)),
+        lambda l: l != "",
     )
 
 

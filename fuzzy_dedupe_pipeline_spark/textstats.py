@@ -389,10 +389,9 @@ def c4_line_filter(
     """-> (id_col, text_clean, n_lines, n_kept): per-doc C4 line filter,
     surviving-line order preserved. Map-only (no shuffle, no Python) — at
     100 TB this fuses into the scan projection like the other text filters."""
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), sep), lambda l: F.trim(l)),
-        lambda l: l != "",
-    )
+    from fuzzy_dedupe_pipeline_spark.linededup import lines_col
+
+    lines = lines_col(F.col(text_col), sep)  # NULL-text-safe (empty array)
     kept = F.filter(lines, lambda l: c4_keep_line(l, min_words))
     return docs.select(
         id_col,

@@ -44,8 +44,12 @@ def _strip_scheme(c: Column) -> Column:
 def canonical_url_col(c: Column) -> Column:
     """Canonical dedup key for a URL column. NULL-safe (NULL -> NULL)."""
     u = F.regexp_replace(_strip_scheme(c), r"#.*$", "")  # drop fragment
-    hostport = F.lower(F.regexp_extract(u, r"^([^/?]*)", 1))
-    rest = F.substring(u, F.length(hostport) + 1, F.lit(2147483647))
+    hostport_raw = F.lower(F.regexp_extract(u, r"^([^/?]*)", 1))
+    rest = F.substring(u, F.length(hostport_raw) + 1, F.lit(2147483647))
+    # userinfo ('user:pw@host') identifies a session, not a resource; the
+    # hostport extraction stops at / and ?, so an '@' here is always userinfo
+    # (stripped AFTER `rest` is carved off the raw length)
+    hostport = F.regexp_replace(hostport_raw, r"^[^@]*@", "")
     # host: lowercase, strip www. and trailing dot; drop default ports only
     host = F.regexp_replace(hostport, r":[0-9]+$", "")
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)

@@ -49,6 +49,12 @@ def test_all_boilerplate_doc_survives_empty(spark):
     assert out == {1: "", 2: "", 3: "keep"}
 
 
+def test_null_text_is_zero_lines(spark):
+    docs = _docs(spark, [(1, None), (2, "nav"), (3, "nav")])
+    out = {r.doc_id: r for r in remove_boilerplate(docs, min_docs=2).collect()}
+    assert (out[1].text_clean, out[1].n_lines, out[1].n_removed) == ("", 0, 0)
+
+
 def test_blank_lines_ignored(spark):
     docs = _docs(spark, [(1, "a\n\n  \nb"), (2, "c")])
     row = remove_boilerplate(docs, min_docs=2).filter(F.col("doc_id") == 1).first()

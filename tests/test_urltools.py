@@ -51,6 +51,19 @@ def test_canonical_edges(spark):
     ) == [None, "example.com", "example.com", "example.com/x"]
 
 
+def test_canonical_strips_userinfo(spark):
+    # credentials/usernames identify a session, not a resource; an '@' in a
+    # path or query must NOT be treated as userinfo
+    assert _canon(
+        spark,
+        [
+            "https://user:pw@example.com/a/b",
+            "https://example.com/a/b",
+            "https://example.com/path@v2?a=x@y.z",
+        ],
+    ) == ["example.com/a/b", "example.com/a/b", "example.com/path@v2?a=x@y.z"]
+
+
 def test_url_tier_dedup_keeps_latest_crawl(spark):
     t0 = dt.datetime(2026, 1, 1)
     t1 = dt.datetime(2026, 2, 1)
