@@ -374,6 +374,89 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=4)
 
 
+def _q_exact_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-pass gate: planted-run pairs, winnow recall + EXACT LCS.
+
+    For each doc_id k a pair of synthetic docs shares a verbatim run of
+    exactly R_k = 50 + (k % 17) tokens (>= the winnow guarantee gram +
+    window - 1 = 50) embedded in per-doc-unique filler. The gate row asserts
+    (1) substring_candidates recovers EVERY planted pair (the fingerprint
+    guarantee is deterministic, so this is equality, not a recall floor) and
+    (2) exact_lcs_pairs returns exactly R_k for each — pinning both halves
+    of the "exact long-substring duplicates" pass (substring.py), including
+    that the reported run length never over- or under-reads. The DuckDB
+    oracle asserts both booleans TRUE and the pair count."""
+    from fuzzy_dedupe_pipeline_spark.substring import (
+        exact_lcs_pairs,
+        substring_candidates,
+    )
+
+    def tok(prefix, n):
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat(prefix, i.cast("string")),
+        )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+    k = F.col("doc_id").cast("string")
+    r = (F.lit(50) + (F.col("doc_id") % 17)).cast("int")
+    run = tok(F.concat(F.lit("r"), k, F.lit("w")), r)
+    side_a = base.select(
+        F.concat(F.lit("a:"), k).alias("id"),
+        F.concat(
+            tok(F.concat(F.lit("a"), k, F.lit("x")), F.lit(20)),
+            run,
+            tok(F.concat(F.lit("A"), k, F.lit("y")), F.lit(10)),
+        ).alias("tokens"),
+        F.col("doc_id"),
+    )
+    side_b = base.select(
+        F.concat(F.lit("b:"), k).alias("id"),
+        F.concat(
+            tok(F.concat(F.lit("b"), k, F.lit("x")), F.lit(7)),
+            run,
+            tok(F.concat(F.lit("B"), k, F.lit("y")), F.lit(15)),
+        ).alias("tokens"),
+        F.col("doc_id"),
+    )
+    pages = side_a.unionByName(side_b).localCheckpoint()
+    planted = (
+        base.select(
+            F.concat(F.lit("a:"), k).alias("id1"),
+            F.concat(F.lit("b:"), k).alias("id2"),
+            (F.lit(50) + (F.col("doc_id") % 17)).cast("long").alias("want_lcs"),
+        )
+    )
+    n_planted = planted.count()
+    cand, _dropped = substring_candidates(
+        pages, DedupeConfig(), id_col="id", tokens_col_name="tokens"
+    )
+    n_found = cand.join(
+        planted.select("id1", "id2"), ["id1", "id2"], "left_semi"
+    ).count()
+    lcs = exact_lcs_pairs(pages, planted.select("id1", "id2"))
+    n_exact = (
+        lcs.join(planted, ["id1", "id2"])
+        .filter(F.col("lcs_tokens") == F.col("want_lcs"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                "exact_substring_run",
+                n_planted,
+                bool(n_planted > 0 and n_found == n_planted),
+                bool(n_planted > 0 and n_exact == n_planted),
+            )
+        ],
+        "algo string, n_pairs long, candidates_ok boolean, lcs_exact_ok boolean",
+    )
+
+
 def _q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-join + aggregate: order revenue per nation (decimal-exact)."""
     orders = _t(spark, sf_dir, "orders")
@@ -635,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "cosine_dup_pairs_blocked": _q_cosine_dup_pairs_blocked,
         "doc_fingerprint": _q_doc_fingerprint,
+        "exact_substring_run": _q_exact_substring_run,
         "ann_cosine_topk": _q_ann_topk,
         "join_agg_revenue": _q_join_agg,
         "topk_orders": _q_topk_orders,
@@ -982,6 +1066,16 @@ def oracle_sql() -> dict[str, str]:
               FROM grams WHERE last_tok IS NOT NULL
             )
             SELECT DISTINCT doc_id, fingerprint FROM fp WHERE pos >= 3
+        """,
+        # self-validating gate (like the ANN recall gates): the Spark side
+        # computes candidates_ok / lcs_exact_ok against the planted truth;
+        # the oracle pins the pair count and asserts both booleans TRUE
+        "exact_substring_run": """
+            SELECT 'exact_substring_run' AS algo,
+                   count(*) AS n_pairs,
+                   TRUE AS candidates_ok,
+                   TRUE AS lcs_exact_ok
+            FROM documents WHERE doc_id < 150
         """,
         # explicit per-element DOUBLE arithmetic (not list_cosine_similarity,
         # which accumulates in float32) so the only engine delta is summation

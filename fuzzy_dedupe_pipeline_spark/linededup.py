@@ -41,9 +41,18 @@ from pyspark.sql import functions as F
 def lines_col(c: Column, sep: str = "\n") -> Column:
     """Split into lines, trimmed, empties dropped — the unit of dedup.
     NULL text -> empty array (not NULL: downstream size()/filter() must see
-    0 lines, never SQL-NULL's -1/NULL propagation)."""
+    0 lines, never SQL-NULL's -1/NULL propagation).
+
+    sep is a LITERAL separator (quoted with \\Q..\\E before it reaches
+    F.split's regex argument): callers rejoin with the same sep via
+    concat_ws, which is literal — treating it as a regex here would make a
+    metacharacter sep (e.g. '|' or '.') explode docs per-character and
+    silently rebuild garbage."""
     return F.filter(
-        F.transform(F.split(F.coalesce(c, F.lit("")), sep), lambda l: F.trim(l)),
+        F.transform(
+            F.split(F.coalesce(c, F.lit("")), "\\Q" + sep + "\\E"),
+            lambda l: F.trim(l),
+        ),
         lambda l: l != "",
     )
 

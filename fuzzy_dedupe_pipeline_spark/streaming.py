@@ -212,7 +212,6 @@ class IncrementalDedupe:
         buckets: list[int] | None,
         columns: list[str],
         exclude_batch: int | None = None,
-        only_ids: set[int] | None = None,
     ) -> DataFrame | None:
         """Layout-mixed-safe pruned read of a per-batch state table.
 
@@ -225,9 +224,6 @@ class IncrementalDedupe:
         bucketed, flat = self._split_batch_parts(
             spark, path, bucket_col, exclude=exclude_batch
         )
-        if only_ids is not None:
-            bucketed = [b for b in bucketed if b in only_ids]
-            flat = [b for b in flat if b in only_ids]
         # basePath anchors partition discovery at the table root (explicit
         # subdir roots with nested bucket dirs otherwise conflict)
         parts: list[DataFrame] = []
@@ -475,10 +471,38 @@ class IncrementalDedupe:
         pre-sharding stores). Crash-safe: each rebuild writes to a tmp dir
         and renames into place; a crash between delete and rename leaves the
         partition missing, which _load_bloom treats as incomplete (full-label
-        probe fallback) until the next compaction retries."""
-        for b in self._list_batch_parts(spark, self.sigs_path):
+        probe fallback) until the next compaction retries.
+
+        Also repairs ORPHANED FLAT bloom partitions (a legacy monolithic
+        bloom batch dir with no sigs counterpart): a pre-sharding compaction
+        that crashed between the sigs merge and the bloom merge leaves sigs
+        holding only the sentinel while bloom keeps flat per-batch dirs.
+        Those dirs' ids live in the sigs sentinel (that is what made them
+        orphans), so deleting them and rebuilding the sentinel shards from
+        the sigs sentinel restores completeness — whereas left in place
+        their flat layout would make _compact_table("bloom") raise on every
+        subsequent compaction: a permanent crash loop inside foreachBatch,
+        where the pre-sharding code merely degraded to the full-label probe.
+        SHARDED orphans (a new-code crash between the sigs and bloom table
+        merges) are left alone: their layout matches the sentinel's, so the
+        bloom compaction arm merges their bits per-bucket as normal sources."""
+        sig_parts = self._list_batch_parts(spark, self.sigs_path)
+        force_sentinel = False
+        for b in self._list_batch_parts(spark, self.bloom_path):
+            if b in sig_parts:
+                continue
             bp = f"{self.bloom_path}/batch_id={b}"
             if any(
+                n.startswith("bucket=") for n in fs_list_names(spark, bp)
+            ):
+                continue  # sharded orphan: compaction merges it per-bucket
+            fs_delete(spark, bp, recursive=True)
+            # the deleted bits are only covered by the sigs sentinel, so the
+            # sentinel's shards must be rebuilt even if already sharded
+            force_sentinel = True
+        for b in sig_parts:
+            bp = f"{self.bloom_path}/batch_id={b}"
+            if not (b == -1 and force_sentinel) and any(
                 n.startswith("bucket=") for n in fs_list_names(spark, bp)
             ):
                 continue  # already sharded
@@ -853,11 +877,16 @@ class IncrementalDedupe:
         from pyspark.sql import Window
 
         w_id = Window.partitionBy("id").orderBy("text_norm", "text_final")
+        # localCheckpoint: the normalize+window lineage is consumed at least
+        # three times per trigger (the seen-probe's bucket collect, the
+        # Bloom-maybe checkpoint, and the fresh-docs signature build) —
+        # materializing it once keeps the batch's heaviest shuffle single-run
         clean = (
             clean_docs(batch_df, id_col, text_col)
             .withColumn("_rn", F.row_number().over(w_id))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            .localCheckpoint()
         )
 
         if self._committed(spark, batch_id):

@@ -121,3 +121,99 @@ def substring_candidates(
         .dropDuplicates(["id1", "id2"])
     )
     return pairs, dropped
+
+
+# -- exact longest-common-run verification ----------------------------------
+#
+# The fingerprint equi-join answers "which pairs PROBABLY share a long run";
+# this answers "exactly how long is the longest shared token run" for those
+# candidate pairs — the suffix-array question asked per pair, where it is
+# O((n+m) log n) instead of a corpus-wide index build. The shared-run length
+# predicate is monotone (a run of L+1 contains a run of L), so binary search
+# over L needs only log(min(n,m)) passes, each one flattened rolling-hash
+# sweep (gram_hashes_flat, the same math as winnowing). Hash hits are
+# confirmed ELEMENTWISE before a run is declared, so the reported length is
+# exact, not probabilistic.
+
+
+def _window_hashes(h: np.ndarray, width: int) -> np.ndarray:
+    starts = np.arange(h.size - width + 1, dtype=np.int64)
+    return gram_hashes_flat(
+        h, starts, np.full(starts.size, width, dtype=np.int64)
+    )
+
+
+def _has_common_run(a: np.ndarray, b: np.ndarray, width: int) -> bool:
+    wa = _window_hashes(a, width)
+    wb = _window_hashes(b, width)
+    common = np.intersect1d(wa, wb)
+    if common.size == 0:
+        return False
+    # verify every hash hit elementwise (collisions are ~2^-64 per pair but
+    # "exact" must mean exact); first true run returns immediately, so the
+    # common case is one slice comparison
+    order_b = np.argsort(wb, kind="stable")
+    wb_sorted = wb[order_b]
+    for pa in np.flatnonzero(np.isin(wa, common)):
+        lo = int(np.searchsorted(wb_sorted, wa[pa]))
+        hi = int(np.searchsorted(wb_sorted, wa[pa], side="right"))
+        for pb in order_b[lo:hi]:
+            if np.array_equal(a[pa : pa + width], b[pb : pb + width]):
+                return True
+    return False
+
+
+def lcs_token_run(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact longest common contiguous token run between two uint64
+    token-hash arrays (0 when either is empty or nothing is shared)."""
+    lo, hi = 0, int(min(a.size, b.size))
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _has_common_run(a, b, mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def exact_lcs_pairs(
+    pages: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id1, id2, lcs_tokens): exact longest shared token run per candidate
+    pair. pages needs (id_col, tokens array<string>); pairs (id1, id2).
+
+    Scale shape: two equi-joins attach each side's token-hash array to the
+    pair (the pair set is the bounded output of the fingerprint equi-join,
+    orders of magnitude smaller than the corpus), then the search runs
+    per-pair inside an Arrow batch — embarrassingly parallel, no further
+    shuffle, O((n+m) log n) per pair vs O(n*m) dynamic programming."""
+    th = pages.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)).alias("th"),
+    )
+
+    @F.pandas_udf("long")
+    def lcs_udf(th1: pd.Series, th2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                lcs_token_run(
+                    np.asarray(x, dtype=np.int64).view(_U64),
+                    np.asarray(y, dtype=np.int64).view(_U64),
+                )
+                for x, y in zip(th1, th2)
+            ],
+            dtype="int64",
+        )
+
+    return (
+        pairs.join(
+            th.select(F.col("id").alias("id1"), F.col("th").alias("th1")), "id1"
+        )
+        .join(
+            th.select(F.col("id").alias("id2"), F.col("th").alias("th2")), "id2"
+        )
+        .select("id1", "id2", lcs_udf("th1", "th2").alias("lcs_tokens"))
+    )

@@ -33,8 +33,10 @@ from pyspark.sql import functions as F
 # params that identify a campaign, not a resource
 TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
 
-# RE2-safe building blocks (no backrefs, no lookarounds)
-_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+# RE2-safe building blocks (no backrefs, no lookarounds). The optional
+# scheme makes protocol-relative URLs ("//host/path") canonicalize to the
+# same key as their absolute forms instead of leaking the host into the path.
+_SCHEME_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//"
 
 
 def _strip_scheme(c: Column) -> Column:
@@ -90,7 +92,11 @@ def url_tier_dedup(
     ts_col: str = "warc_ts",
 ) -> DataFrame:
     """Keep ONE row per canonical URL: the latest crawl (max ts), ties broken
-    by min original url — deterministic under recrawl storms.
+    by min original url — deterministic under recrawl storms. A pages table
+    without the timestamp column is supported (ties broken by url alone),
+    and NULL-url rows pass through untouched: they have no dedup key, so
+    collapsing them into one NULL group would both drop data and funnel
+    every keyless row into a single hot window partition.
 
     One shuffle on the canonical key (short string), arg-max via window over
     that same partitioning — no second shuffle. At crawl scale the key is
@@ -99,13 +105,17 @@ def url_tier_dedup(
     not by corpus size, so no salt is needed on this tier.
     """
     d = with_canonical_url(pages, url_col)
-    w = Window.partitionBy("canonical_url").orderBy(
-        F.col(ts_col).desc(), F.col(url_col).asc()
-    )
+    keyless = d.filter(F.col("canonical_url").isNull())
+    order = [F.col(url_col).asc()]
+    if ts_col in pages.columns:
+        order.insert(0, F.col(ts_col).desc())
+    w = Window.partitionBy("canonical_url").orderBy(*order)
     return (
-        d.withColumn("_rn", F.row_number().over(w))
+        d.filter(F.col("canonical_url").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .unionByName(keyless)
     )
 
 

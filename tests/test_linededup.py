@@ -76,3 +76,26 @@ def test_filter_is_broadcast_not_join(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Generate") == 1  # one explode (the frequency count side)
+
+
+def test_metachar_separator_is_literal(spark):
+    # sep feeds F.split (regex) on the way in but concat_ws (literal) on the
+    # way out — a metacharacter sep like '|' must round-trip as a literal,
+    # not explode every doc per-character
+    docs = _docs(
+        spark,
+        [
+            (1, "nav | alpha | beta"),
+            (2, "nav | gamma"),
+            (3, "nav"),
+        ],
+    )
+    out = {
+        r.doc_id: (r.text_clean, r.n_lines, r.n_removed)
+        for r in remove_boilerplate(docs, sep="|", min_docs=2).collect()
+    }
+    assert out == {
+        1: ("alpha|beta", 3, 1),
+        2: ("gamma", 2, 1),
+        3: ("", 1, 1),
+    }

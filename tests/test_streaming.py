@@ -838,3 +838,114 @@ def test_committed_replay_of_all_reseen_batch(spark, tmp_path):
     assert out2.count() == 0
     labels = spark.read.parquet(inc.labels_path)
     assert labels.count() == 1
+
+
+def test_orphaned_flat_bloom_partitions_are_repaired(spark, tmp_path):
+    """A pre-sharding compaction that crashed between the sigs merge and the
+    bloom merge leaves sigs holding only the sentinel while bloom keeps flat
+    monolithic per-batch dirs with no sigs counterpart. compact_state must
+    repair that store (delete the redundant orphans, rebuild the sentinel
+    shards from the sigs sentinel) instead of raising on the flat layout at
+    every compaction — a permanent crash loop inside foreachBatch. The
+    rebuilt sidecar must stay complete: a re-seen orphan-era id is still
+    dropped (no false negatives)."""
+    import os
+    import shutil
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+    ) * 6
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_orphan"), CFG)
+    b0 = spark.createDataFrame(
+        [("u:old", base + "ending one")], "url string, text string"
+    )
+    inc.process_batch(b0, batch_id=0)
+    b1 = spark.createDataFrame(
+        [("u:mid", "a wholly different page of words " * 25)],
+        "url string, text string",
+    )
+    inc.process_batch(b1, batch_id=1)
+
+    # simulate the crashed pre-sharding compaction: batch 0's sigs rows sit
+    # in a FLAT sentinel (old code wrote no bucket dirs), its sigs dir is
+    # gone, but its bloom dir survives in the legacy MONOLITHIC layout
+    flat_sent = str(tmp_path / "flat_sentinel")
+    spark.read.parquet(f"{inc.sigs_path}/batch_id=0").select(
+        "id", "n_tokens", "shingles", "minhash", "simhash"
+    ).coalesce(1).write.mode("overwrite").parquet(flat_sent)
+    shutil.rmtree(f"{inc.sigs_path}/batch_id=0")
+    shutil.move(flat_sent, f"{inc.sigs_path}/batch_id=-1")
+    orphan = f"{inc.bloom_path}/batch_id=0"
+    shutil.rmtree(orphan)
+    spark.createDataFrame(
+        [(b"\x00" * 64,)], "bits binary"
+    ).coalesce(1).write.mode("overwrite").parquet(orphan)
+
+    # both compactions must run clean (the old code raised RuntimeError on
+    # the flat orphan here, and would again on every retry)
+    inc.compact_state()
+    inc.compact_state()
+    assert not os.path.exists(orphan)
+    shards = inc._load_bloom(
+        spark, exclude_batch=99, buckets=list(range(inc.n_label_buckets))
+    )
+    assert shards is not None, "sidecar incomplete after repair"
+    # orphan-era id re-seen -> dropped; near-dup of its text still clusters
+    b2 = spark.createDataFrame(
+        [("u:old", base + "ending one"), ("u:new", base + "ending two")],
+        "url string, text string",
+    )
+    out = inc.process_batch(b2, batch_id=2)
+    assert {r["id"] for r in out.collect()} == {"u:new"}
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in spark.read.parquet(inc.labels_path).collect()
+    }
+    assert labels["u:new"] == labels["u:old"]
+
+
+def test_sharded_orphan_bloom_is_merged_not_deleted(spark, tmp_path):
+    """A NEW-code crash between the sigs and bloom table merges leaves a
+    SHARDED bloom dir with no sigs counterpart. Its bits are not yet in the
+    sentinel, so the repair must leave it for the per-bucket merge (deleting
+    it would open a false-negative window); completeness and first-seen-wins
+    must hold across the next compaction."""
+    import shutil
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+    ) * 6
+    inc = IncrementalDedupe(spark, str(tmp_path / "state_shorphan"), CFG)
+    b0 = spark.createDataFrame(
+        [("u:old", base + "ending one")], "url string, text string"
+    )
+    inc.process_batch(b0, batch_id=0)
+    b1 = spark.createDataFrame(
+        [("u:mid", "a wholly different page of words " * 25)],
+        "url string, text string",
+    )
+    inc.process_batch(b1, batch_id=1)
+    # crash window: sigs 0 merged into a bucketed sentinel, bloom 0 (sharded)
+    # not yet merged
+    bucketed_sent = str(tmp_path / "bucketed_sentinel")
+    spark.read.option("basePath", inc.sigs_path).parquet(
+        f"{inc.sigs_path}/batch_id=0"
+    ).drop("batch_id").write.mode("overwrite").partitionBy("bucket").parquet(
+        bucketed_sent
+    )
+    shutil.rmtree(f"{inc.sigs_path}/batch_id=0")
+    shutil.move(bucketed_sent, f"{inc.sigs_path}/batch_id=-1")
+
+    inc.compact_state()
+    shards = inc._load_bloom(
+        spark, exclude_batch=99, buckets=list(range(inc.n_label_buckets))
+    )
+    assert shards is not None, "sidecar incomplete after merge"
+    b2 = spark.createDataFrame(
+        [("u:old", base + "ending one"), ("u:new", base + "ending two")],
+        "url string, text string",
+    )
+    out = inc.process_batch(b2, batch_id=2)
+    assert {r["id"] for r in out.collect()} == {"u:new"}

@@ -94,3 +94,52 @@ def test_url_tier_single_shuffle(spark):
     )
     plan = url_tier_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_protocol_relative_collapses_with_absolute(spark):
+    # a scheme-relative crawl record of the same resource must share the
+    # absolute form's canonical key (host must not leak into the path)
+    assert set(
+        _canon(
+            spark,
+            [
+                "//example.com/a/b",
+                "//WWW.Example.COM:443//a//b/",
+                "https://example.com/a/b",
+            ],
+        )
+    ) == {"example.com/a/b"}
+
+
+def test_url_tier_without_timestamp_column(spark):
+    # crawl tables without warc_ts are supported by the rest of the pipeline;
+    # the URL tier must not hard-require the column (ties break on url alone)
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/p?utm_source=x", "drop"),
+            ("https://A.com/p", "keep"),  # min url wins without a ts
+            ("https://b.com/q", "only"),
+        ],
+        "url string, text string",
+    )
+    out = url_tier_dedup(df).orderBy("canonical_url").collect()
+    assert [(r.canonical_url, r.text) for r in out] == [
+        ("a.com/p", "keep"),
+        ("b.com/q", "only"),
+    ]
+
+
+def test_url_tier_null_urls_pass_through(spark):
+    # NULL urls have no dedup key: every row must survive (collapsing the
+    # NULL group would silently drop data)
+    t0 = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (None, t0, "n1"),
+            (None, t0, "n2"),
+            ("https://a.com/p", t0, "a"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = url_tier_dedup(df).collect()
+    assert sorted(r.text for r in out) == ["a", "n1", "n2"]
