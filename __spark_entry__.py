@@ -363,6 +363,34 @@ def _q_cosine_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(emb, threshold=0.35, round_dp=4, block_col="label")
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs inside
+    equi-blocks -> connected components -> (vec_id, cluster_id) for EVERY
+    vector (singletons label themselves). The 100 TB shape is the flagship's:
+    blocked equi-join candidates (here the label column; at scale an IVF
+    list / LSH bucket), min-label + pointer-jumping CC (cc.py), one left
+    join to attach singletons.
+
+    This is the one query whose DuckDB oracle exercises the FULL graph
+    semantics value-level: a recursive-CTE transitive closure computes
+    min-reachable-id per vector — an independent connected-components
+    implementation in pure SQL (the flagship's CC is golden-checked against
+    union-find; this row checks it against SQL recursion as well)."""
+    from fuzzy_dedupe_pipeline_spark.cc import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_dup_pairs(emb, threshold=0.35, round_dp=4, block_col="label")
+    comp = connected_components(pairs.select("id1", "id2"))
+    return (
+        emb.select("vec_id")
+        .join(comp, emb["vec_id"] == comp["id"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").cast("long").alias("cluster_id"),
+        )
+    )
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed md5 k-gram document fingerprints (Schleimer-style, k=8 w=4).
 
@@ -717,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_jaccard_pairs": _q_trigram_jaccard,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "cosine_dup_pairs_blocked": _q_cosine_dup_pairs_blocked,
+        "semantic_dedup": _q_semantic_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
         "exact_substring_run": _q_exact_substring_run,
         "ann_cosine_topk": _q_ann_topk,
@@ -1041,6 +1070,34 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             )
             SELECT id1, id2, cosine FROM s WHERE cosine >= 0.35
+        """,
+        # independent connected components in pure SQL: recursive-CTE
+        # transitive closure, cluster = min reachable id (UNION dedups, so
+        # the recursion terminates once reach is closed)
+        "semantic_dedup": """
+            WITH RECURSIVE s AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2
+              FROM embeddings a
+              JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE round(
+                       list_sum(list_transform(range(1, len(a.embedding)+1),
+                                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                                i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                                i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 4)
+                     >= 0.35
+            ), edges AS (
+              SELECT id1 AS src, id2 AS dst FROM s
+              UNION ALL
+              SELECT id2, id1 FROM s
+            ), reach(src, dst) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS vec_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src
         """,
         "doc_fingerprint": r"""
             WITH toks AS (
