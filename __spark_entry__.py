@@ -363,6 +363,47 @@ def _q_cosine_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(emb, threshold=0.35, round_dp=4, block_col="label")
 
 
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation funnel over the documents table:
+    raw -> English (lang_id) -> quality (composite score >= 0.7) -> exact
+    dedup (distinct normalized text), reported as per-stage survivor counts
+    + fraction of raw. The whole funnel is ONE job: a single aggregate row
+    (conditional counts nest the stage predicates; count(DISTINCT ...) only
+    over final survivors) unpivoted with stack — at 100 TB this is one scan
+    + one partial-aggregated shuffle, not four passes over the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    flags = (
+        with_lang_id(d, text_col="text")
+        .select("doc_id", "lang_pred")
+        .join(quality_score_cols(d).select("doc_id", "quality_score"), "doc_id")
+        .join(
+            d.select("doc_id", _norm_ascii(F.col("text")).alias("text_norm")),
+            "doc_id",
+        )
+    )
+    en = F.col("lang_pred") == "en"
+    q = en & (F.col("quality_score") >= 0.7)
+    agg = flags.agg(
+        F.count("*").alias("raw"),
+        F.count(F.when(en, 1)).alias("lang_en"),
+        F.count(F.when(q, 1)).alias("quality"),
+        F.countDistinct(F.when(q, F.col("text_norm"))).alias("exact_dedup"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 1, 'raw', raw, 2, 'lang_en', lang_en,"
+            " 3, 'quality', quality, 4, 'exact_dedup', exact_dedup)"
+            " AS (stage_idx, stage, n_docs)"
+        ),
+        F.col("raw").alias("_raw"),
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("n_docs") / F.col("_raw"), 6).alias("frac"),
+    )
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs inside
     equi-blocks -> connected components -> (vec_id, cluster_id) for EVERY
@@ -746,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "cosine_dup_pairs_blocked": _q_cosine_dup_pairs_blocked,
         "semantic_dedup": _q_semantic_dedup,
+        "curation_funnel": _q_curation_funnel,
         "doc_fingerprint": _q_doc_fingerprint,
         "exact_substring_run": _q_exact_substring_run,
         "ann_cosine_topk": _q_ann_topk,
@@ -1000,6 +1042,49 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_de = greatest(h_en,h_es,h_de,h_fr) THEN 'de'
                         ELSE 'fr' END AS lang_pred
             FROM t
+        """,
+        # same lang/quality/normalize formulas as their standalone oracles,
+        # composed into nested conditional counts over ONE scan
+        "curation_funnel": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_EN}, x))) AS h_en,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_ES}, x))) AS h_es,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_DE}, x))) AS h_de,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_FR}, x))) AS h_fr,
+                     length(text)::BIGINT AS n_chars,
+                     len({_TOKS})::BIGINT AS n_tokens,
+                     (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')))::BIGINT AS punct,
+                     regexp_replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                                    '[^a-z0-9_ ]', '', 'g') AS text_norm
+              FROM documents
+            ), f AS (
+              SELECT doc_id, text_norm,
+                     CASE WHEN greatest(h_en,h_es,h_de,h_fr) = 0 THEN 'und'
+                          WHEN h_en = greatest(h_en,h_es,h_de,h_fr) THEN 'en'
+                          WHEN h_es = greatest(h_en,h_es,h_de,h_fr) THEN 'es'
+                          WHEN h_de = greatest(h_en,h_es,h_de,h_fr) THEN 'de'
+                          ELSE 'fr' END AS lang_pred,
+                     round(
+                       (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN (n_chars - (n_tokens - 1)) / NULLIF(n_tokens,0)::DOUBLE >= 3
+                             AND (n_chars - (n_tokens - 1)) / NULLIF(n_tokens,0)::DOUBLE <= 12 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN h_en / NULLIF(n_tokens,0)::DOUBLE >= 0.01 THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN n_chars = 0 OR punct / n_chars::DOUBLE <= 0.2 THEN 0.1 ELSE 0.0 END), 6) AS quality_score
+              FROM t
+            ), a AS (
+              SELECT count(*) AS raw,
+                     count(CASE WHEN lang_pred = 'en' THEN 1 END) AS lang_en,
+                     count(CASE WHEN lang_pred = 'en' AND quality_score >= 0.7 THEN 1 END) AS quality,
+                     count(DISTINCT CASE WHEN lang_pred = 'en' AND quality_score >= 0.7
+                                         THEN text_norm END) AS exact_dedup
+              FROM f
+            )
+            SELECT 1 AS stage_idx, 'raw' AS stage, raw AS n_docs,
+                   round(raw / raw::DOUBLE, 6) AS frac FROM a
+            UNION ALL SELECT 2, 'lang_en', lang_en, round(lang_en / raw::DOUBLE, 6) FROM a
+            UNION ALL SELECT 3, 'quality', quality, round(quality / raw::DOUBLE, 6) FROM a
+            UNION ALL SELECT 4, 'exact_dedup', exact_dedup, round(exact_dedup / raw::DOUBLE, 6) FROM a
         """,
         "rep_per_group": """
             SELECT lang, source, doc_id AS rep_doc_id, n_chars AS rep_n_chars
