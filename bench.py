@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "pii_scrub",
     "c4_line_filter",
     "lang_id",
+    "bpe_token_count",
+    "curation_funnel",
+    "semantic_dedup",
+    "exact_substring_run",
     "trigram_jaccard_pairs",
     "ann_cosine_topk",
     "join_agg_revenue",
