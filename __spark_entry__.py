@@ -443,22 +443,10 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=4)
 
 
-def _q_exact_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suffix-array-pass gate: planted-run pairs, winnow recall + EXACT LCS.
-
-    For each doc_id k a pair of synthetic docs shares a verbatim run of
-    exactly R_k = 50 + (k % 17) tokens (>= the winnow guarantee gram +
-    window - 1 = 50) embedded in per-doc-unique filler. The gate row asserts
-    (1) substring_candidates recovers EVERY planted pair (the fingerprint
-    guarantee is deterministic, so this is equality, not a recall floor) and
-    (2) exact_lcs_pairs returns exactly R_k for each — pinning both halves
-    of the "exact long-substring duplicates" pass (substring.py), including
-    that the reported run length never over- or under-reads. The DuckDB
-    oracle asserts both booleans TRUE and the pair count."""
-    from fuzzy_dedupe_pipeline_spark.substring import (
-        exact_lcs_pairs,
-        substring_candidates,
-    )
+def _planted_run_pages(spark: SparkSession, sf_dir: str):
+    """(pages, planted) with one verbatim R_k = 50 + (k % 17)-token run
+    shared by docs a:k / b:k, embedded in per-doc-unique filler — the
+    deterministic planted family both substring gates assert against."""
 
     def tok(prefix, n):
         return F.transform(
@@ -500,6 +488,27 @@ def _q_exact_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(50) + (F.col("doc_id") % 17)).cast("long").alias("want_lcs"),
         )
     )
+    return pages, planted
+
+
+def _q_exact_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-pass gate: planted-run pairs, winnow recall + EXACT LCS.
+
+    For each doc_id k a pair of synthetic docs shares a verbatim run of
+    exactly R_k = 50 + (k % 17) tokens (>= the winnow guarantee gram +
+    window - 1 = 50) embedded in per-doc-unique filler. The gate row asserts
+    (1) substring_candidates recovers EVERY planted pair (the fingerprint
+    guarantee is deterministic, so this is equality, not a recall floor) and
+    (2) exact_lcs_pairs returns exactly R_k for each — pinning both halves
+    of the "exact long-substring duplicates" pass (substring.py), including
+    that the reported run length never over- or under-reads. The DuckDB
+    oracle asserts both booleans TRUE and the pair count."""
+    from fuzzy_dedupe_pipeline_spark.substring import (
+        exact_lcs_pairs,
+        substring_candidates,
+    )
+
+    pages, planted = _planted_run_pages(spark, sf_dir)
     n_planted = planted.count()
     cand, _dropped = substring_candidates(
         pages, DedupeConfig(), id_col="id", tokens_col_name="tokens"
@@ -523,6 +532,52 @@ def _q_exact_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "algo string, n_pairs long, candidates_ok boolean, lcs_exact_ok boolean",
+    )
+
+
+def _q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL gate (Lee et al. ACL'22 transform): on the same
+    planted-run family as exact_substring_run, remove_duplicate_spans must
+    cut EXACTLY the R_k planted tokens from each victim (b:k), leave every
+    keeper (a:k) byte-identical, and afterwards no planted pair may share a
+    token run >= the winnow guarantee (verified with the exact LCS, not the
+    probabilistic fingerprints). The DuckDB oracle asserts all three booleans
+    TRUE and the pair count."""
+    from fuzzy_dedupe_pipeline_spark.substring import (
+        exact_lcs_pairs,
+        remove_duplicate_spans,
+    )
+
+    guarantee = DedupeConfig().substring_gram + DedupeConfig().winnow_window - 1
+    pages, planted = _planted_run_pages(spark, sf_dir)
+    n_planted = planted.count()
+    pairs = planted.select("id1", "id2")
+    cleaned = remove_duplicate_spans(pages, pairs).localCheckpoint()
+    n_removed_exact = (
+        cleaned.join(planted, cleaned.id == planted.id2)
+        .filter(F.col("n_removed_tokens") == F.col("want_lcs"))
+        .count()
+    )
+    n_keepers_intact = cleaned.filter(
+        F.col("id").startswith("a:") & (F.col("n_removed_tokens") == 0)
+    ).count()
+    n_run_left = (
+        exact_lcs_pairs(cleaned.select("id", "tokens"), pairs)
+        .filter(F.col("lcs_tokens") >= guarantee)
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                "dedup_span_removal",
+                n_planted,
+                bool(n_planted > 0 and n_removed_exact == n_planted),
+                bool(n_planted > 0 and n_keepers_intact == n_planted),
+                bool(n_run_left == 0),
+            )
+        ],
+        "algo string, n_pairs long, removed_exact boolean,"
+        " keepers_intact boolean, no_run_left boolean",
     )
 
 
@@ -790,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _q_curation_funnel,
         "doc_fingerprint": _q_doc_fingerprint,
         "exact_substring_run": _q_exact_substring_run,
+        "dedup_span_removal": _q_dedup_span_removal,
         "ann_cosine_topk": _q_ann_topk,
         "join_agg_revenue": _q_join_agg,
         "topk_orders": _q_topk_orders,
@@ -1217,6 +1273,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_pairs,
                    TRUE AS candidates_ok,
                    TRUE AS lcs_exact_ok
+            FROM documents WHERE doc_id < 150
+        """,
+        "dedup_span_removal": """
+            SELECT 'dedup_span_removal' AS algo,
+                   count(*) AS n_pairs,
+                   TRUE AS removed_exact,
+                   TRUE AS keepers_intact,
+                   TRUE AS no_run_left
             FROM documents WHERE doc_id < 150
         """,
         # explicit per-element DOUBLE arithmetic (not list_cosine_similarity,

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "curation_funnel",
     "semantic_dedup",
     "exact_substring_run",
+    "dedup_span_removal",
     "trigram_jaccard_pairs",
     "ann_cosine_topk",
     "join_agg_revenue",

@@ -217,3 +217,153 @@ def exact_lcs_pairs(
         )
         .select("id1", "id2", lcs_udf("th1", "th2").alias("lcs_tokens"))
     )
+
+
+# -- duplicate-span REMOVAL ---------------------------------------------------
+#
+# Detection (above) answers "these pairs share a long verbatim run"; this
+# removes the duplicated tokens from one side — the transform of Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better" (ACL'22), where
+# every duplicated span above a length threshold is cut from all but one
+# occurrence. Key property making the cut EXACT: a shared run of length
+# L >= width covers exactly L - width + 1 matching width-token windows, and
+# the union of their [p, p+width) index sets is exactly the run's token range
+# — so removing the union of verified matching windows removes precisely the
+# duplicated tokens (every shared run >= width, nothing else).
+
+
+def shared_span_ranges(keep: np.ndarray, victim: np.ndarray, width: int) -> list:
+    """Merged [start, end) token-index ranges in `victim` covered by some
+    width-token window that also occurs verbatim in `keep`. Hash hits are
+    confirmed elementwise (same discipline as _has_common_run), so ranges
+    are exact, not probabilistic."""
+    if int(keep.size) < width or int(victim.size) < width:
+        return []
+    wk = _window_hashes(keep, width)
+    wv = _window_hashes(victim, width)
+    order_k = np.argsort(wk, kind="stable")
+    wk_sorted = wk[order_k]
+    hits = []
+    for pv in np.flatnonzero(np.isin(wv, wk_sorted)):
+        lo = int(np.searchsorted(wk_sorted, wv[pv]))
+        hi = int(np.searchsorted(wk_sorted, wv[pv], side="right"))
+        for pk in order_k[lo:hi]:
+            if np.array_equal(victim[pv : pv + width], keep[pk : pk + width]):
+                hits.append(int(pv))
+                break
+    if not hits:
+        return []
+    merged = [[hits[0], hits[0] + width]]
+    for p in hits[1:]:  # hits ascend: flatnonzero yields sorted positions
+        if p <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], p + width)
+        else:
+            merged.append([p, p + width])
+    return [(s, e) for s, e in merged]
+
+
+def merge_ranges(ranges: list) -> list:
+    """Merge possibly-overlapping [s, e) ranges (e.g. spans contributed by
+    several keeper docs against the same victim)."""
+    merged: list = []
+    for s, e in sorted(ranges):
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    return [(s, e) for s, e in merged]
+
+
+def remove_duplicate_spans(
+    pages: DataFrame,
+    pairs: DataFrame,
+    cfg: DedupeConfig | None = None,
+    id_col: str = "id",
+    tokens_col: str = "tokens",
+    min_run: int | None = None,
+) -> DataFrame:
+    """Cut every shared token run >= min_run from the VICTIM side of each
+    candidate pair, keeping the first occurrence intact (pairs carry
+    id1 < id2 from substring_candidates, so id1 — the lowest id — is the
+    keeper: deterministic keep-first policy). Returns pages with tokens_col
+    rewritten and an added n_removed_tokens column.
+
+    min_run defaults to the winnow guarantee gram + window - 1 (reference
+    constants: dedupe_logic/processor.py thresholds are score-based; the
+    substring arm is the suffix-array analog, see module docstring), i.e.
+    exactly the runs substring_candidates is guaranteed to surface.
+
+    Single-pass semantics (as in Lee et al.): spans are located against the
+    ORIGINAL corpus tokens, then all cuts apply at once — a doc that is both
+    keeper (of a later doc) and victim (of an earlier one) contributes its
+    original text as keeper and is still rewritten as victim.
+
+    Scale shape: the pair set is the bounded output of the fingerprint
+    equi-join (orders of magnitude smaller than the corpus). Two equi-joins
+    attach token-hash arrays to pairs; span search runs per pair inside an
+    Arrow batch; one groupBy shuffle keys per-victim ranges; the rewrite is
+    a map-side JVM higher-order filter — no per-row Python on the corpus
+    side, no shuffle of rewritten text."""
+    cfg = cfg or DedupeConfig()
+    width = int(min_run or (cfg.substring_gram + cfg.winnow_window - 1))
+    rng_type = "array<struct<s: long, e: long>>"
+
+    th = pages.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)).alias("th"),
+    )
+
+    @F.pandas_udf(rng_type)
+    def spans_udf(keep_th: pd.Series, vict_th: pd.Series) -> pd.Series:
+        out = []
+        for k, v in zip(keep_th, vict_th):
+            r = shared_span_ranges(
+                np.asarray(k, dtype=np.int64).view(_U64),
+                np.asarray(v, dtype=np.int64).view(_U64),
+                width,
+            )
+            out.append([{"s": s, "e": e} for s, e in r])
+        return pd.Series(out)
+
+    @F.pandas_udf(rng_type)
+    def merge_udf(ranges: pd.Series) -> pd.Series:
+        out = []
+        for rs in ranges:
+            merged = merge_ranges([(int(r["s"]), int(r["e"])) for r in rs])
+            out.append([{"s": s, "e": e} for s, e in merged])
+        return pd.Series(out)
+
+    victim_ranges = (
+        pairs.join(
+            th.select(F.col("id").alias("id1"), F.col("th").alias("th_keep")),
+            "id1",
+        )
+        .join(
+            th.select(F.col("id").alias("id2"), F.col("th").alias("th_vict")),
+            "id2",
+        )
+        .select(F.col("id2").alias("_rid"), spans_udf("th_keep", "th_vict").alias("r"))
+        .select("_rid", F.explode("r").alias("r"))
+        .groupBy("_rid")
+        .agg(merge_udf(F.collect_list("r")).alias("_ranges"))
+    )
+
+    toks = F.col(tokens_col)
+    cut = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_ranges"), lambda r: (i >= r["s"]) & (i < r["e"])
+        ),
+    )
+    new_tokens = F.when(F.col("_ranges").isNull(), toks).otherwise(cut)
+    return (
+        pages.join(
+            victim_ranges, pages[id_col] == victim_ranges["_rid"], "left"
+        )
+        .withColumn(
+            "n_removed_tokens",
+            (F.size(toks) - F.size(new_tokens)).cast("long"),
+        )
+        .withColumn(tokens_col, new_tokens)
+        .drop("_rid", "_ranges")
+    )
