@@ -31,6 +31,7 @@ from fuzzy_dedupe_pipeline_spark.similarity import (
     ivf_topk,
     lsh_ann_topk,
 )
+from fuzzy_dedupe_pipeline_spark.decontam import decontaminate
 from fuzzy_dedupe_pipeline_spark.linededup import remove_boilerplate
 from fuzzy_dedupe_pipeline_spark.pii import redact_pii
 from fuzzy_dedupe_pipeline_spark.urltools import url_dup_stats
@@ -290,6 +291,22 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
     )
     return redact_pii(d.select("doc_id", planted.alias("text")))
+
+
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webtext op: benchmark decontamination (decontam.decontaminate) —
+    flag every training doc sharing >= 1 exact word 13-gram with an eval
+    set (GPT-3 appendix-C / Dolma convention). Eval set is a deterministic
+    corpus slice (doc_id % 37 == 0), standing in for a held-out benchmark;
+    near-duplicates of those docs light up as contaminated. Join shape:
+    corpus grams probe a BROADCAST eval-gram set map-side, contaminated ids
+    broadcast back — the corpus side never shuffles (plan-asserted in
+    tests/test_decontam.py)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = d.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate(d, eval_docs, n=13).select(
+        "doc_id", "n_hits", "contaminated"
+    )
 
 
 def _q_rep_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "remove_boilerplate": _q_remove_boilerplate,
         "pii_scrub": _q_pii_scrub,
+        "decontam_eval_overlap": _q_decontam,
         "c4_line_filter": _q_c4_line_filter,
         "lang_id": _q_lang_id,
         "rep_per_group": _q_rep_per_group,
@@ -1081,6 +1099,29 @@ def oracle_sql() -> dict[str, str]:
                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT
                 AS n_ips
             FROM built
+        """,
+        # 13-grams built the same way on both sides: overlapping slices of
+        # the whitespace token array joined with single spaces
+        "decontam_eval_overlap": rf"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS tk FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(tk) >= 13 THEN
+                       list_transform(generate_series(1, len(tk) - 12),
+                                      i -> array_to_string(list_slice(tk, i, i + 12), ' '))
+                     ELSE [] END) AS gram
+              FROM t
+            ), eg AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0
+            ), hits AS (
+              SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_hits
+              FROM g JOIN eg USING (gram) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "lang_id": rf"""
             WITH t AS (
