@@ -34,6 +34,7 @@ from fuzzy_dedupe_pipeline_spark.similarity import (
 from fuzzy_dedupe_pipeline_spark.decontam import decontaminate
 from fuzzy_dedupe_pipeline_spark.linededup import remove_boilerplate
 from fuzzy_dedupe_pipeline_spark.pii import redact_pii
+from fuzzy_dedupe_pipeline_spark.sampling import quota_sample, stratified_sample
 from fuzzy_dedupe_pipeline_spark.urltools import url_dup_stats
 from fuzzy_dedupe_pipeline_spark.textstats import (
     c4_line_filter,
@@ -306,6 +307,32 @@ def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_docs = d.filter(F.col("doc_id") % 37 == 0)
     return decontaminate(d, eval_docs, n=13).select(
         "doc_id", "n_hits", "contaminated"
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation op: deterministic rate sampling per language stratum
+    (sampling.stratified_sample) — content-stable hash draw, map-only (the
+    filter fuses into the scan; zero shuffle at any corpus size). Rates are
+    exact binary fractions so the threshold is an exact integer on both
+    engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d,
+        ["lang"],
+        {"en": 0.5, "es": 0.25},
+        salt=7,
+        default_fraction=0.125,
+    )
+
+
+def _q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation op: exact k-per-stratum sampling (sampling.quota_sample) —
+    top-20 per lang by salted key mix; one stratum shuffle, window top-k."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = quota_sample(d, ["lang"], k=20, salt=3)
+    return out.select(
+        "lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
     )
 
 
@@ -852,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": _q_remove_boilerplate,
         "pii_scrub": _q_pii_scrub,
         "decontam_eval_overlap": _q_decontam,
+        "stratified_sample": _q_stratified_sample,
+        "quota_sample": _q_quota_sample,
         "c4_line_filter": _q_c4_line_filter,
         "lang_id": _q_lang_id,
         "rep_per_group": _q_rep_per_group,
@@ -1122,6 +1151,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # same Knuth mix on both sides; operands stay non-negative so plain
+        # % == pmod, and the binary-fraction thresholds are exact integers
+        "stratified_sample": r"""
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id + 7) * 2654435761) % 2147483648 <
+                  CAST((CASE lang WHEN 'en' THEN 0.5
+                                  WHEN 'es' THEN 0.25
+                                  ELSE 0.125 END) * 2147483648 AS BIGINT)
+        """,
+        "quota_sample": r"""
+            WITH r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ((doc_id + 3) * 2654435761) % 2147483648 ASC,
+                                doc_id ASC
+                     ) AS sample_rank
+              FROM documents
+            )
+            SELECT lang, doc_id, sample_rank::BIGINT AS sample_rank
+            FROM r WHERE sample_rank <= 20
         """,
         "lang_id": rf"""
             WITH t AS (
