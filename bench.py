@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "bpe_token_count",
     "curation_funnel",
     "semantic_dedup",
+    "decontam_eval_overlap",
+    "stratified_sample",
+    "quota_sample",
     "exact_substring_run",
     "dedup_span_removal",
     "trigram_jaccard_pairs",
