@@ -34,7 +34,11 @@ from fuzzy_dedupe_pipeline_spark.similarity import (
 from fuzzy_dedupe_pipeline_spark.decontam import decontaminate
 from fuzzy_dedupe_pipeline_spark.linededup import remove_boilerplate
 from fuzzy_dedupe_pipeline_spark.pii import redact_pii
-from fuzzy_dedupe_pipeline_spark.sampling import quota_sample, stratified_sample
+from fuzzy_dedupe_pipeline_spark.sampling import (
+    mixture_plan,
+    quota_sample,
+    stratified_sample,
+)
 from fuzzy_dedupe_pipeline_spark.urltools import url_dup_stats
 from fuzzy_dedupe_pipeline_spark.textstats import (
     c4_line_filter,
@@ -334,6 +338,20 @@ def _q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
     )
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation op: token-budget mixture planning (sampling.mixture_plan) —
+    per-source sampling rates hitting a Pile/DoReMi-style target mixture at
+    half the corpus' token budget. Target weights derive analytically from
+    the source name ((1 + n % 4) / 50 over src0..src19, summing to 1) so the
+    oracle reproduces them without a side channel; one partial-agg shuffle
+    of (source, token_count), window over the 20-row aggregate."""
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    weight = lambda s: (  # noqa: E731
+        (F.lit(1) + F.substring(s, 4, 10).cast("int") % 4) / F.lit(50.0)
+    )
+    return mixture_plan(d, weight, budget_frac=0.5)
 
 
 def _q_rep_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_eval_overlap": _q_decontam,
         "stratified_sample": _q_stratified_sample,
         "quota_sample": _q_quota_sample,
+        "mixture_plan": _q_mixture_plan,
         "c4_line_filter": _q_c4_line_filter,
         "lang_id": _q_lang_id,
         "rep_per_group": _q_rep_per_group,
@@ -1160,6 +1179,21 @@ def oracle_sql() -> dict[str, str]:
                   CAST((CASE lang WHEN 'en' THEN 0.5
                                   WHEN 'es' THEN 0.25
                                   ELSE 0.125 END) * 2147483648 AS BIGINT)
+        """,
+        # rate = least(1, (budget_frac * grand) * weight / T_s) with the
+        # SAME left-assoc double op order as the Spark expression
+        "mixture_plan": rf"""
+            WITH per AS (
+              SELECT source, sum(len({_TOKS}))::BIGINT AS total_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT source, total_tokens,
+                   (1 + CAST(substr(source, 4) AS INT) % 4) / 50.0 AS weight,
+                   least(1.0,
+                         0.5 * (SELECT sum(total_tokens) FROM per)
+                             * ((1 + CAST(substr(source, 4) AS INT) % 4) / 50.0)
+                             / total_tokens) AS sample_rate
+            FROM per
         """,
         "quota_sample": r"""
             WITH r AS (

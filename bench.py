@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "decontam_eval_overlap",
     "stratified_sample",
     "quota_sample",
+    "mixture_plan",
     "exact_substring_run",
     "dedup_span_removal",
     "trigram_jaccard_pairs",

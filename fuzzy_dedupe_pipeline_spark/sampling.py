@@ -36,6 +36,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fuzzy_dedupe_pipeline_spark.textstats import token_count_col
+
 # Knuth's multiplicative constant (closest prime to 2^32/phi); the modulus
 # 2^31 keeps key*A within BIGINT for any key < 2^32 and the draw uniform
 # enough for rate sampling (it is a bijection of the low 31 key bits).
@@ -105,4 +107,72 @@ def quota_sample(
     return (
         docs.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights,
+    budget_frac: float,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling rates realizing a target token MIXTURE under a
+    token budget (Pile/DoReMi-style source reweighting): with T_s tokens in
+    source s, target share w_s (sum 1) and budget B = budget_frac * sum(T),
+    rate_s = min(1, B * w_s / T_s). Sources whose target share exceeds their
+    holdings saturate at 1 (no upsampling — repetition is a training-loop
+    decision, not a corpus transform).
+
+    weights: a callable mapping the source Column to a weight Column (pure
+    JVM arithmetic keeps the whole plan codegen'd), or a {source: weight}
+    mapping. Cost: ONE partial-agg shuffle of (source, token-count) pairs —
+    map-side combine collapses each partition to its distinct sources, so
+    a 3-source 100 TB corpus shuffles a few rows per partition; the
+    grand-total window runs over the #sources-row aggregate (single tiny
+    partition, documented bound).
+
+    Returns (source, total_tokens, weight, sample_rate) — feed to
+    apply_mixture.
+    """
+    per = docs.groupBy(source_col).agg(
+        F.sum(token_count_col(F.col(text_col))).cast("long").alias("total_tokens")
+    )
+    if callable(weights):
+        w = weights(F.col(source_col))
+    else:
+        w = F.lit(0.0)
+        for k, v in sorted(weights.items()):
+            w = F.when(F.col(source_col) == F.lit(k), F.lit(float(v))).otherwise(w)
+    grand = F.sum("total_tokens").over(Window.partitionBy())
+    return per.select(
+        source_col,
+        "total_tokens",
+        w.alias("weight"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_frac)) * grand * w / F.col("total_tokens"),
+        ).alias("sample_rate"),
+    )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: int = 0,
+) -> DataFrame:
+    """Sample docs at each source's planned rate with the content-stable
+    mix draw: broadcast the #sources-row plan, filter map-side — the corpus
+    never shuffles, and the selection is stable under repartition/resume
+    like stratified_sample."""
+    rates = F.broadcast(plan.select(source_col, "sample_rate"))
+    return (
+        docs.join(rates, source_col)
+        .filter(
+            mix_col(F.col(key_col), salt)
+            < (F.col("sample_rate") * F.lit(MIX_MOD)).cast("long")
+        )
+        .drop("sample_rate")
     )

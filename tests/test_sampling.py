@@ -96,3 +96,46 @@ def test_quota_plan_single_strata_exchange(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(shuffles) == 1 and "lang" in shuffles[0]
+
+
+def _src_docs(spark):
+    # 3 sources with known token totals: a=400 docs x 10 tok, b=200 x 20,
+    # c=100 x 10 -> T = 4000/4000/1000, grand 9000
+    rows = (
+        [(i, "a", "t " * 10) for i in range(400)]
+        + [(1000 + i, "b", "t " * 20) for i in range(200)]
+        + [(2000 + i, "c", "t " * 10) for i in range(100)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_mixture_plan_rates(spark):
+    from fuzzy_dedupe_pipeline_spark.sampling import apply_mixture, mixture_plan
+
+    d = _src_docs(spark)
+    plan = mixture_plan(d, {"a": 0.5, "b": 0.25, "c": 0.25}, budget_frac=0.5)
+    got = {r.source: r for r in plan.collect()}
+    assert got["a"].total_tokens == 4000 and got["c"].total_tokens == 1000
+    # B = 4500: a -> 2250/4000, b -> 1125/4000, c -> 1125/1000 saturates
+    assert abs(got["a"].sample_rate - 0.5625) < 1e-12
+    assert abs(got["b"].sample_rate - 0.28125) < 1e-12
+    assert got["c"].sample_rate == 1.0
+
+    out = apply_mixture(d, plan, salt=5)
+    n = {r.source: r.n for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert n["c"] == 100  # saturated source keeps everything
+    assert 0.40 * 400 < n["a"] < 0.72 * 400
+    assert 0.17 * 200 < n["b"] < 0.40 * 200
+    # selection is content-stable under repartition
+    again = apply_mixture(d.repartition(11), plan, salt=5)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_apply_mixture_plan_broadcasts(spark):
+    from fuzzy_dedupe_pipeline_spark.sampling import apply_mixture, mixture_plan
+
+    d = _src_docs(spark)
+    plan_df = mixture_plan(d, {"a": 0.6, "b": 0.2, "c": 0.2}, 0.5)
+    p = _plan(apply_mixture(d, plan_df))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
