@@ -403,10 +403,12 @@ def _write_baseline_md() -> None:
         "windows hit both equally, pooling runs across invocations; every",
         "raw run is listed below. Min-of-N is the standard robust estimator",
         "of machine capability under asymmetric noise. The run pool is",
-        "RESET at every engine revision (latest: round 4 — concurrent",
-        "cache builds, vectorized winnow); prior-engine pools are archived",
-        "as BENCH/runs_*_round{2,3}_engine.json so minima are never",
-        "compared across engines. Levels `NxC` run",
+        "RESET at every engine revision that touches the flagship dedup",
+        "path (last reset: round 4 — concurrent cache builds, vectorized",
+        "winnow; round 5 added independent operators only, so its draws",
+        "fold into the same pool — see BENCH/INTERPRETATION.md); prior-",
+        "engine pools are archived as BENCH/runs_*_round{2,3}_engine.json",
+        "so minima are never compared across engines. Levels `NxC` run",
         "local-cluster[N,C] — N separate executor JVMs with their own heaps",
         "and Python worker pools, shuffle over loopback netty — the",
         "closest this sandbox gets to N real executors (north-rule N->4N",
