@@ -166,6 +166,28 @@ def main() -> None:
     )
 
 
+def _engine_key() -> str:
+    """Pool key: content hash of the engine-relevant sources (the package,
+    this harness, and the query registry). Git-HEAD keying fragmented the
+    pool — a docs/test-only commit started an empty pool for byte-identical
+    engine code (round-5 keys a6a8f13/32bfa54 were the SAME engine for every
+    pre-existing query). The content hash only moves when code that executes
+    queries moves; uncommitted edits are covered for free."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    paths = [os.path.join(root, "bench.py"), os.path.join(root, "__spark_entry__.py")]
+    pkg = os.path.join(root, "fuzzy_dedupe_pipeline_spark")
+    for d, _dirs, files in sorted(os.walk(pkg)):
+        paths.extend(os.path.join(d, f) for f in sorted(files) if f.endswith(".py"))
+    for p in sorted(paths):
+        with open(p, "rb") as f:
+            h.update(p.encode())
+            h.update(f.read())
+    return "src-" + h.hexdigest()[:8]
+
+
 def queries_pool() -> None:
     """Pooled min-of-N per registered bench query (VERDICT r4 item 4).
 
@@ -174,7 +196,7 @@ def queries_pool() -> None:
     draw can (and round 4 did) report a 68% 'regression' that pooled runs on
     a quiet box cannot reproduce. Each --queries-pool invocation appends
     BENCH_POOL_REPS (default 3) timed runs per query (flagship included) to
-    BENCH/driver_queries_pooled.json, keyed by engine git revision so minima
+    BENCH/driver_queries_pooled.json, keyed by engine content hash so minima
     are never compared across engines; pooled_min holds the current engine's
     min-of-all-pooled-runs per query — the noise-robust number the judge
     should read."""
@@ -183,36 +205,7 @@ def queries_pool() -> None:
 
     import __spark_entry__ as entrymod
 
-    try:
-        rev = (
-            subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            ).stdout.strip()
-            or "dev"
-        )
-        # docs/bench-artifact edits don't change the engine — only source
-        # paths participating in query execution mark the pool key dirty
-        dirty = subprocess.run(
-            [
-                "git",
-                "status",
-                "--porcelain",
-                "--",
-                "fuzzy_dedupe_pipeline_spark",
-                "bench.py",
-                "__spark_entry__.py",
-            ],
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout.strip()
-        if dirty:
-            rev += "-dirty"
-    except Exception:
-        rev = "dev"
+    rev = _engine_key()
     os.makedirs("BENCH", exist_ok=True)
     path = "BENCH/driver_queries_pooled.json"
     pool: dict = {}
