@@ -183,7 +183,7 @@ def _engine_key() -> str:
         paths.extend(os.path.join(d, f) for f in sorted(files) if f.endswith(".py"))
     for p in sorted(paths):
         with open(p, "rb") as f:
-            h.update(p.encode())
+            h.update(os.path.relpath(p, root).encode())
             h.update(f.read())
     return "src-" + h.hexdigest()[:8]
 
