@@ -212,3 +212,96 @@ def test_jaccard_symmetric_and_bounded(spark):
     assert j1[frozenset(("a", "b"))] == 1.0
     for v in j1.values():
         assert 0.0 <= v <= 1.0
+
+
+# --------------------------------------------------------------------------
+# decontamination: flag iff n-gram set intersection is nonempty (scalar ref)
+# --------------------------------------------------------------------------
+
+_WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=0,
+    max_size=12,
+)
+_DOC_SETS = st.tuples(
+    st.lists(_WORDS, min_size=1, max_size=6),  # training docs (token lists)
+    st.lists(_WORDS, min_size=1, max_size=3),  # eval docs
+    st.integers(min_value=1, max_value=4),     # n
+)
+
+
+def _scalar_grams(toks: list[str], n: int) -> set[str]:
+    return {
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_DOC_SETS)
+def test_decontaminate_matches_set_intersection(spark, case):
+    from fuzzy_dedupe_pipeline_spark.decontam import decontaminate
+
+    train_toks, eval_toks, n = case
+    tr = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(train_toks)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(eval_toks)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.contaminated, r.n_hits)
+        for r in decontaminate(tr, ev, n=n).collect()
+    }
+    eval_grams = set().union(*(_scalar_grams(t, n) for t in eval_toks))
+    for i, toks in enumerate(train_toks):
+        hits = _scalar_grams(toks, n) & eval_grams
+        assert got[i] == (bool(hits), len(hits)), (i, toks, n)
+
+
+# --------------------------------------------------------------------------
+# quota sampling: engine selection == scalar sort by (mix, key) per stratum
+# --------------------------------------------------------------------------
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    salt=st.integers(min_value=0, max_value=100),
+)
+def test_quota_sample_matches_scalar_ranking(spark, ids, k, salt):
+    from fuzzy_dedupe_pipeline_spark.sampling import (
+        KNUTH_A,
+        MIX_MOD,
+        quota_sample,
+    )
+
+    d = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in ids], "doc_id long, source string"
+    )
+    got = sorted(
+        (r.source, r.sample_rank, r.doc_id)
+        for r in quota_sample(d, ["source"], k=k, salt=salt).collect()
+    )
+    want = []
+    for s in {"s" + str(i % 3) for i in ids}:
+        members = sorted(
+            (i for i in ids if "s" + str(i % 3) == s),
+            key=lambda i: (((i + salt) * KNUTH_A) % MIX_MOD, i),
+        )
+        want.extend((s, rank + 1, i) for rank, i in enumerate(members[:k]))
+    assert got == sorted(want)
