@@ -39,6 +39,12 @@ from fuzzy_dedupe_pipeline_spark.sampling import (
     quota_sample,
     stratified_sample,
 )
+from fuzzy_dedupe_pipeline_spark.packing import (
+    pack_concat_chunks,
+    pack_first_fit,
+    packing_stats,
+)
+from fuzzy_dedupe_pipeline_spark.sketches import distinct_stats, rel_err_ok_col
 from fuzzy_dedupe_pipeline_spark.urltools import url_dup_stats
 from fuzzy_dedupe_pipeline_spark.textstats import (
     c4_line_filter,
@@ -352,6 +358,87 @@ def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1) + F.substring(s, 4, 10).cast("int") % 4) / F.lit(50.0)
     )
     return mixture_plan(d, weight, budget_frac=0.5)
+
+
+def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch op: per-lang corpus cardinalities with the HLL++ accuracy gate
+    (sketches.distinct_stats). The exact columns are value-checked by the
+    SQL oracle; the sketch column is deterministic (register-max merge) but
+    engine-specific, so it is emitted as the gated boolean hll_ok — rel err
+    <= 3 * rsd. At 100 TB the exact twin is dropped and only ~kB HLL states
+    cross the exchange."""
+    d = _t(spark, sf_dir, "documents")
+    s = distinct_stats(d, ["lang"], "text", rsd=0.05)
+    return s.select(
+        "lang",
+        F.col("n_rows").cast("long").alias("n_docs"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct_texts"),
+        rel_err_ok_col(
+            F.col("exact_distinct"), F.col("approx_distinct"), 0.15
+        ).alias("hll_ok"),
+    )
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing op: GPT-style concat-then-chunk sequence layout
+    (packing.pack_concat_chunks, capacity 512, 8 content-stable groups).
+    Every output cell is integer arithmetic over whitespace token counts —
+    the DuckDB oracle recomputes the mix order, the per-group cumulative
+    sum and the bin spans bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return pack_concat_chunks(
+        d, capacity=512, n_groups=8, key_col="doc_id", text_col="text"
+    )
+
+
+def _q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing gate: whole-document first-fit-decreasing
+    (packing.pack_first_fit, capacity 512). The assignment itself is not
+    ANSI-SQL-expressible (sequential first-fit), so this emits ONE
+    hash-checkable row whose exact columns (n_docs, total_tokens) the
+    oracle recomputes and whose booleans gate the packing invariants:
+    every doc packed exactly once, token conservation, no non-overflow bin
+    above capacity, and FFD's half-full guarantee (at most one bin at most
+    half full per group => fill >= 0.5 overall; measured fill here is far
+    higher, gated at 0.7)."""
+    d = _t(spark, sf_dir, "documents")
+    cap = 512
+    packed = pack_first_fit(
+        d, capacity=cap, n_groups=8, key_col="doc_id", text_col="text"
+    ).localCheckpoint()
+    stats = packing_stats(packed, cap).collect()[0]
+    want = d.select(
+        F.count("*").alias("n"),
+        F.sum(token_count_col(F.col("text"))).cast("long").alias("tok"),
+        F.countDistinct("doc_id").alias("nd"),
+    ).collect()[0]
+    n_groups_used = packed.select("pack_group").distinct().count()
+    pack_ok = (
+        int(stats["n_docs"]) == int(want["n"]) == int(want["nd"])
+        and packed.select("doc_id").distinct().count() == int(want["n"])
+        and int(stats["total_tokens"]) == int(want["tok"])
+        and (
+            stats["max_bin_tokens"] is None
+            or int(stats["max_bin_tokens"]) <= cap
+        )
+        and int(stats["half_empty_bins"]) <= n_groups_used
+    )
+    fill_ok = (
+        stats["fill_factor"] is not None and float(stats["fill_factor"]) >= 0.7
+    )
+    return spark.createDataFrame(
+        [
+            (
+                "sequence_pack_ffd",
+                int(want["n"]),
+                int(want["tok"]),
+                bool(pack_ok),
+                bool(fill_ok),
+            )
+        ],
+        "algo string, n_docs long, total_tokens long, "
+        "pack_ok boolean, fill_ok boolean",
+    )
 
 
 def _q_rep_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,6 +987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "quota_sample": _q_quota_sample,
         "mixture_plan": _q_mixture_plan,
+        "sketch_distinct_stats": _q_sketch_distinct,
+        "sequence_pack_chunks": _q_pack_chunks,
+        "sequence_pack_ffd": _q_pack_ffd,
         "c4_line_filter": _q_c4_line_filter,
         "lang_id": _q_lang_id,
         "rep_per_group": _q_rep_per_group,
@@ -1194,6 +1284,52 @@ def oracle_sql() -> dict[str, str]:
                              * ((1 + CAST(substr(source, 4) AS INT) % 4) / 50.0)
                              / total_tokens) AS sample_rate
             FROM per
+        """,
+        # exact columns value-checked; the HLL estimate itself is
+        # engine-specific, so it crosses as the gated boolean (rel err
+        # <= 3 * rsd, deterministic per input set) the oracle pins
+        "sketch_distinct_stats": rf"""
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT text)::BIGINT AS exact_distinct_texts,
+                   TRUE AS hll_ok
+            FROM documents GROUP BY lang
+        """,
+        # same Knuth mix + per-group cumulative sum + integer bin spans as
+        # the Spark plan; (mix, doc_id) is a total order so the window
+        # frames agree, and all operands are non-negative so % == pmod
+        "sequence_pack_chunks": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     len({_TOKS})::BIGINT AS n_tokens,
+                     (doc_id * 2654435761) % 2147483648 AS mx
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CAST(mx % 8 AS INT) AS pack_group,
+                     n_tokens,
+                     (sum(n_tokens) OVER (
+                        PARTITION BY mx % 8 ORDER BY mx ASC, doc_id ASC
+                      ) - n_tokens) AS tok_start
+              FROM t
+            )
+            SELECT doc_id, pack_group, n_tokens, tok_start,
+                   (tok_start // 512)::BIGINT AS bin_first,
+                   greatest(tok_start // 512,
+                            (tok_start + n_tokens - 1) // 512)::BIGINT
+                       AS bin_last
+            FROM s
+        """,
+        # self-validating packing gate: the Spark side checks the FFD
+        # invariants in-engine (exactly-once, token conservation, capacity,
+        # fill >= 0.7) and the oracle recomputes the exact columns + pins
+        # the booleans
+        "sequence_pack_ffd": rf"""
+            SELECT 'sequence_pack_ffd' AS algo,
+                   count(*)::BIGINT AS n_docs,
+                   sum(len({_TOKS}))::BIGINT AS total_tokens,
+                   TRUE AS pack_ok, TRUE AS fill_ok
+            FROM documents
         """,
         "quota_sample": r"""
             WITH r AS (

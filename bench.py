@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "quota_sample",
     "mixture_plan",
+    "sketch_distinct_stats",
+    "sequence_pack_chunks",
     "exact_substring_run",
     "dedup_span_removal",
     "trigram_jaccard_pairs",
