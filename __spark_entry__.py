@@ -45,7 +45,8 @@ from fuzzy_dedupe_pipeline_spark.packing import (
     packing_stats,
 )
 from fuzzy_dedupe_pipeline_spark.sketches import distinct_stats, rel_err_ok_col
-from fuzzy_dedupe_pipeline_spark.urltools import url_dup_stats
+from fuzzy_dedupe_pipeline_spark.lmquality import cross_entropy_scores
+from fuzzy_dedupe_pipeline_spark.urltools import domain_stats, url_dup_stats
 from fuzzy_dedupe_pipeline_spark.textstats import (
     c4_line_filter,
     doc_fingerprints,
@@ -181,6 +182,14 @@ def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate slashes, fragment, tracking params, query-param order — splits
     the group key and fails the value hash. k%7 × k%13 path collisions give
     real multi-crawl groups (lcm 91 << 500 docs)."""
+    return url_dup_stats(_messy_url_pages(spark, sf_dir).select("url"))
+
+
+def _messy_url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL synth shared by the tier-0 URL queries
+    (`url_canonical_dedup`, `domain_dup_stats`): (doc_id, url) with scheme /
+    case / www. / default-port / trailing-dot / duplicate-slash / fragment /
+    tracking-param variants driven by doc_id residues."""
     k = F.col("doc_id")
     s = lambda c: c.cast("string")
     scheme = F.when(k % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://"))
@@ -199,12 +208,35 @@ def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 5 == 3, F.lit(""))
         .otherwise(F.lit("?a=1&b=2#frag"))
     )
-    pages = (
+    return (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
-        .select(F.concat(scheme, host, path, qs).alias("url"))
+        .select("doc_id", F.concat(scheme, host, path, qs).alias("url"))
     )
-    return url_dup_stats(pages)
+
+
+def _q_domain_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-0 rollup: per-domain crawl multiplicity + content diversity
+    (urltools.domain_stats) over the shared messy-URL synth, plus
+    analytically collapsing texts (text = 'tpl' || doc_id % 11) so every
+    domain has more resources than unique texts — the template-farm
+    signature the rate columns must expose. The oracle computes domain /
+    canonical / text straight from the doc_id arithmetic, so a
+    canonicalization or domain-extraction bug splits the groups and fails
+    the value hash."""
+    pages = _messy_url_pages(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("tpl"), (F.col("doc_id") % 11).cast("string"))
+    )
+    return domain_stats(pages)
+
+
+def _q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: per-doc cross-entropy under a
+    corpus-fitted add-one unigram model (lmquality.cross_entropy_scores).
+    Two corpus scans (fit, then score) joined on the vocab; see lmquality.py
+    for the 10^12-doc plan and the float discipline (6dp logp, DECIMAL
+    shuffle-sum, 6dp final) that makes this row hash-checkable."""
+    return cross_entropy_scores(_t(spark, sf_dir, "documents"))
 
 
 # planted boilerplate lines for the remove_boilerplate gate — shared between
@@ -981,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "top_ngrams": _q_top_ngrams,
         "url_canonical_dedup": _q_url_canonical_dedup,
+        "domain_dup_stats": _q_domain_dup_stats,
+        "lm_cross_entropy": _q_lm_cross_entropy,
         "remove_boilerplate": _q_remove_boilerplate,
         "pii_scrub": _q_pii_scrub,
         "decontam_eval_overlap": _q_decontam,
@@ -1138,6 +1172,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, min(url) AS rep_url,
                    count(*)::BIGINT AS n_crawls
             FROM u GROUP BY canonical_url
+        """,
+        "domain_dup_stats": """
+            WITH u AS (
+              SELECT doc_id,
+                -- analytic domain + canonical form straight from the
+                -- arithmetic (same residues as url_canonical_dedup): the
+                -- oracle never runs a second canonicalizer or extractor
+                'site' || (doc_id % 7) || '.com' AS domain,
+                'site' || (doc_id % 7) || '.com/p/' || (doc_id % 13)
+                || (CASE WHEN doc_id % 5 = 3 THEN '' ELSE '?a=1&b=2' END)
+                  AS canonical_url,
+                'tpl' || (doc_id % 11) AS text
+              FROM documents
+            )
+            SELECT domain,
+                   count(*)::BIGINT AS n_crawls,
+                   count(DISTINCT canonical_url)::BIGINT AS n_resources,
+                   count(DISTINCT text)::BIGINT AS n_unique_texts,
+                   round(1.0 - count(DISTINCT canonical_url)::DOUBLE
+                             / count(*), 6) AS crawl_dup_rate,
+                   round(1.0 - count(DISTINCT text)::DOUBLE
+                             / count(DISTINCT canonical_url), 6) AS text_dup_rate
+            FROM u GROUP BY domain
+        """,
+        "lm_cross_entropy": rf"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ), vocab AS (
+              SELECT tok, count(*)::BIGINT AS n_tok FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT sum(n_tok)::BIGINT AS n_total,
+                     count(*)::BIGINT AS n_vocab FROM vocab
+            ), logp AS (
+              SELECT tok, round(ln((n_tok + 1)::DOUBLE
+                                   / (n_total + n_vocab)::DOUBLE), 6) AS logp
+              FROM vocab CROSS JOIN tot
+            ), dt AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS c
+              FROM toks GROUP BY doc_id, tok
+            ), per AS (
+              SELECT doc_id,
+                     sum(round(c * logp, 6)::DECIMAL(38,6)) AS s,
+                     sum(c)::BIGINT AS n_tokens
+              FROM dt JOIN logp USING (tok) GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   round((-(s::DOUBLE)) / n_tokens, 6) AS cross_entropy
+            FROM per
         """,
         "remove_boilerplate": """
             WITH built AS (

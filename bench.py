@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "repetition_stats",
     "top_ngrams",
     "url_canonical_dedup",
+    "domain_dup_stats",
+    "lm_cross_entropy",
     "remove_boilerplate",
     "pii_scrub",
     "c4_line_filter",

@@ -130,3 +130,54 @@ def url_dup_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.count("*").cast("long").alias("n_crawls"),
         )
     )
+
+
+def domain_col(canon: Column) -> Column:
+    """Host part of a canonical URL (everything before the first '/', '?' or
+    ':'). On the canonical form this is already lowercased, www.-stripped and
+    default-port-free, so it groups every variant of one site together."""
+    return F.regexp_extract(canon, r"^([^/:?]*)", 1)
+
+
+def domain_stats(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain crawl/dup rollup — the template-farm detector.
+
+    For each domain: crawl multiplicity (n_crawls vs n_resources = distinct
+    canonical URLs) and content diversity (n_unique_texts vs n_resources).
+    A domain whose thousands of resources collapse to a handful of unique
+    texts is a mirror or a template farm; curation pipelines cap or drop such
+    domains before any per-document scoring spends compute on them.
+
+    ONE aggregation shuffle keyed on the short domain string. The two exact
+    COUNT(DISTINCT)s expand rows 3x through the exchange — kept exact here
+    because the driver oracle value-checks them; the 10^12-row form swaps
+    them for the HLL sketches in sketches.distinct_stats (same group key,
+    constant-size state). Domain keys are power-law-hot but bounded by
+    politeness-rate crawling, and partial aggregation collapses each map
+    task's contribution to one row per (domain, distinct value) before the
+    shuffle. Ratios are exact-int-division -> double, rounded to 6dp (the
+    oracle-parity float discipline).
+    """
+    d = with_canonical_url(pages, url_col)
+    agg = d.groupBy(domain_col(F.col("canonical_url")).alias("domain")).agg(
+        F.count("*").cast("long").alias("n_crawls"),
+        F.countDistinct("canonical_url").cast("long").alias("n_resources"),
+        F.countDistinct(text_col).cast("long").alias("n_unique_texts"),
+    )
+    return agg.select(
+        "domain",
+        "n_crawls",
+        "n_resources",
+        "n_unique_texts",
+        F.round(
+            F.lit(1.0) - F.col("n_resources").cast("double") / F.col("n_crawls"),
+            6,
+        ).alias("crawl_dup_rate"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_unique_texts").cast("double") / F.col("n_resources"),
+            6,
+        ).alias("text_dup_rate"),
+    )

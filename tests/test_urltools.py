@@ -143,3 +143,40 @@ def test_url_tier_null_urls_pass_through(spark):
     )
     out = url_tier_dedup(df).collect()
     assert sorted(r.text for r in out) == ["a", "n1", "n2"]
+
+
+def test_domain_stats_rollup(spark):
+    from fuzzy_dedupe_pipeline_spark.urltools import domain_stats
+
+    rows = [
+        # farm.com: 4 crawls -> 2 resources -> 1 unique text (template farm)
+        ("https://farm.com/p/1", "T"),
+        ("HTTP://WWW.Farm.COM/p/1#x", "T"),
+        ("https://farm.com/p/2", "T"),
+        ("https://farm.com.:443/p/2?utm_source=z", "T"),
+        # good.org: 2 crawls -> 2 resources -> 2 unique texts
+        ("https://good.org/a", "A"),
+        ("https://good.org/b", "B"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    got = {r.domain: r for r in domain_stats(df).collect()}
+    assert set(got) == {"farm.com", "good.org"}
+    f = got["farm.com"]
+    assert (f.n_crawls, f.n_resources, f.n_unique_texts) == (4, 2, 1)
+    assert abs(f.crawl_dup_rate - 0.5) < 1e-9
+    assert abs(f.text_dup_rate - 0.5) < 1e-9
+    g = got["good.org"]
+    assert (g.n_crawls, g.n_resources, g.n_unique_texts) == (2, 2, 2)
+    assert g.crawl_dup_rate == 0.0 and g.text_dup_rate == 0.0
+
+
+def test_domain_stats_single_shuffle(spark):
+    from fuzzy_dedupe_pipeline_spark.urltools import domain_stats
+
+    df = spark.createDataFrame(
+        [("https://a.com/x", "t1"), ("https://b.com/y", "t2")], ["url", "text"]
+    )
+    plan = domain_stats(df)._jdf.queryExecution().executedPlan().toString()
+    # one aggregation exchange (plus the expand for the two exact distincts);
+    # no join, no cartesian
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
