@@ -46,6 +46,7 @@ from fuzzy_dedupe_pipeline_spark.packing import (
 )
 from fuzzy_dedupe_pipeline_spark.sketches import distinct_stats, rel_err_ok_col
 from fuzzy_dedupe_pipeline_spark.lmquality import cross_entropy_scores
+from fuzzy_dedupe_pipeline_spark.repetition import gopher_repetition
 from fuzzy_dedupe_pipeline_spark.urltools import domain_stats, url_dup_stats
 from fuzzy_dedupe_pipeline_spark.textstats import (
     c4_line_filter,
@@ -244,6 +245,137 @@ def _q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOILER_NAV = "nav home products about contact"
 _BOILER_COPY = "copyright example corp all rights reserved"
 _BOILER_SUB = "subscribe to our newsletter"
+
+
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webtext op: the full Gopher repetition-rule signal table
+    (repetition.gopher_repetition) — duplicate line/paragraph fractions and
+    char fractions, top-{2,3,4}-gram char fraction, dup-{5..10}-gram char
+    fraction — ONE map-only pass (array_sort + linear HOF run-scan per unit
+    family, zero shuffle; see repetition.py for the char conventions).
+
+    Multi-paragraph docs are synthesized deterministically: paragraph 1 is a
+    nav line + a content slice; paragraph 2 is a second slice plus the SAME
+    nav line in 1/3 of docs (duplicate line); paragraph 3 REPEATS paragraph 1
+    in 1/4 of docs (duplicate paragraph) and is a third slice otherwise. The
+    oracle rebuilds the same text and re-derives every signal through the
+    independent unnest + GROUP BY + window-max relational route."""
+    d = _t(spark, sf_dir, "documents")
+    k, c = F.col("doc_id"), F.col("text")
+    nav = F.lit(_BOILER_NAV)
+    p1 = F.concat_ws("\n", nav, F.substring(c, 1, 60))
+    p2 = F.concat_ws(
+        "\n", F.substring(c, 61, 60), F.when(k % 3 == 0, nav)
+    )
+    p3 = F.when(k % 4 == 0, p1).otherwise(F.substring(c, 121, 60))
+    built = d.select("doc_id", F.concat_ws("\n\n", p1, p2, p3).alias("text"))
+    return gopher_repetition(built)
+
+
+def _gopher_oracle() -> str:
+    """DuckDB twin of _q_gopher_repetition, generated (9 gram families share
+    one CTE shape). Independent route: unnest + GROUP BY + window-max instead
+    of the engine's sorted-array run-scan; identical text construction,
+    identical char conventions (beyond-first for lines/paras, count x len for
+    grams, max-count tie-broken toward char mass for top grams)."""
+    nav = _BOILER_NAV
+    unit = (
+        "list_filter(list_transform(string_split({src}, {sep}),"
+        " x -> trim(x)), x -> x <> '')"
+    )
+    ctes = [
+        f"""built AS (
+      SELECT doc_id, concat_ws(chr(10) || chr(10),
+        concat_ws(chr(10), '{nav}', substr(text, 1, 60)),
+        concat_ws(chr(10), substr(text, 61, 60),
+                  CASE WHEN doc_id % 3 = 0 THEN '{nav}' END),
+        CASE WHEN doc_id % 4 = 0
+             THEN concat_ws(chr(10), '{nav}', substr(text, 1, 60))
+             ELSE substr(text, 121, 60) END) AS text
+      FROM documents
+    ), un AS (
+      SELECT doc_id, length(text)::BIGINT AS doc_chars,
+             {unit.format(src='text', sep='chr(10)')} AS lines,
+             {unit.format(src='text', sep='chr(10) || chr(10)')} AS paras,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS w
+      FROM built
+    )"""
+    ]
+    for fam, src in (("l", "lines"), ("p", "paras")):
+        ctes.append(
+            f"""{fam}r AS (
+      SELECT doc_id, unnest({src}) AS v FROM un
+    ), {fam}c AS (
+      SELECT doc_id, v, count(*) AS cnt FROM {fam}r GROUP BY doc_id, v
+    ), {fam}a AS (
+      SELECT doc_id, sum(cnt)::BIGINT AS n, count(*)::BIGINT AS u,
+             sum(cnt * length(v))::BIGINT AS tot,
+             coalesce(sum(CASE WHEN cnt > 1
+                               THEN (cnt - 1) * length(v) END), 0)::BIGINT
+               AS dupb
+      FROM {fam}c GROUP BY doc_id
+    )"""
+        )
+    for n in range(2, 11):
+        ctes.append(
+            f"""g{n} AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(w) - {n} + 1, 0)),
+               i -> array_to_string(w[i:i+{n - 1}], ' '))) AS v
+      FROM un
+    ), c{n} AS (
+      SELECT doc_id, v, count(*) AS cnt FROM g{n} GROUP BY doc_id, v
+    ), x{n} AS (
+      SELECT doc_id, v, cnt, max(cnt) OVER (PARTITION BY doc_id) AS mx
+      FROM c{n}
+    ), a{n} AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN cnt = mx
+                               THEN cnt * length(v) END), 0)::BIGINT
+               AS topchars,
+             coalesce(sum(CASE WHEN cnt > 1
+                               THEN cnt * length(v) END), 0)::BIGINT
+               AS dupchars
+      FROM x{n} GROUP BY doc_id
+    )"""
+        )
+
+    def frac(num: str, den: str) -> str:
+        return (
+            f"round(CASE WHEN coalesce({den}, 0) > 0 THEN"
+            f" coalesce({num}, 0)::DOUBLE / {den} ELSE 0.0 END, 6)"
+        )
+
+    cols = [
+        "un.doc_id",
+        "coalesce(la.n, 0)::BIGINT AS n_lines",
+        frac("la.n - la.u", "la.n") + " AS dup_line_frac",
+        frac("la.dupb", "la.tot") + " AS dup_line_char_frac",
+        "coalesce(pa.n, 0)::BIGINT AS n_paras",
+        frac("pa.n - pa.u", "pa.n") + " AS dup_para_frac",
+        frac("pa.dupb", "pa.tot") + " AS dup_para_char_frac",
+    ]
+    for n in (2, 3, 4):
+        cols.append(
+            frac(f"a{n}.topchars", "un.doc_chars")
+            + f" AS top_{n}gram_char_frac"
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        cols.append(
+            frac(f"a{n}.dupchars", "un.doc_chars")
+            + f" AS dup_{n}gram_char_frac"
+        )
+    joins = "\n            ".join(
+        f"LEFT JOIN a{n} ON a{n}.doc_id = un.doc_id" for n in range(2, 11)
+    )
+    return f"""
+            WITH {', '.join(ctes)}
+            SELECT {', '.join(cols)}
+            FROM un
+            LEFT JOIN la ON la.doc_id = un.doc_id
+            LEFT JOIN pa ON pa.doc_id = un.doc_id
+            {joins}
+        """
 
 
 def _q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "domain_dup_stats": _q_domain_dup_stats,
         "lm_cross_entropy": _q_lm_cross_entropy,
+        "gopher_repetition": _q_gopher_repetition,
         "remove_boilerplate": _q_remove_boilerplate,
         "pii_scrub": _q_pii_scrub,
         "decontam_eval_overlap": _q_decontam,
@@ -1221,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
                    round((-(s::DOUBLE)) / n_tokens, 6) AS cross_entropy
             FROM per
         """,
+        "gopher_repetition": _gopher_oracle(),
         "remove_boilerplate": """
             WITH built AS (
               SELECT doc_id, concat_ws(chr(10),

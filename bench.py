@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "url_canonical_dedup",
     "domain_dup_stats",
     "lm_cross_entropy",
+    "gopher_repetition",
     "remove_boilerplate",
     "pii_scrub",
     "c4_line_filter",
