@@ -66,6 +66,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin an under-split scan across the session's cores.
+
+    The driver's testdata parquet is ONE row group per file, so the scan
+    arrives as ONE input partition (byte-range splits exist, but only the
+    split containing the row-group start gets rows — the same trap bench.py
+    documents for its synthetic corpus, and the production analog of
+    unsplittable .gz WARC inputs). Without this, every expensive per-row
+    pass below runs on a single core. The guard makes it scale-honest: a
+    well-split source (100 TB arrives in thousands of splits; a bucketed
+    Iceberg table) is returned untouched, so the repartition never appears
+    in the at-scale plan. Applied only where per-row work dominates —
+    cheap scans keep their zero-exchange plans (plan-asserted in
+    tests/test_plans.py). The flagship path has its own guard
+    (dataflow.dedupe_clusters rebalance_input)."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -168,7 +190,7 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data op: corpus-level boilerplate discovery — the 20 most
     frequent adjacent-token bigrams (count DESC, gram ASC), one partial-agg
     shuffle + top-k heap."""
-    return top_ngrams(_t(spark, sf_dir, "documents"), k=20)
+    return top_ngrams(_spread(_t(spark, sf_dir, "documents")), k=20)
 
 
 def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,7 +259,7 @@ def _q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two corpus scans (fit, then score) joined on the vocab; see lmquality.py
     for the 10^12-doc plan and the float discipline (6dp logp, DECIMAL
     shuffle-sum, 6dp final) that makes this row hash-checkable."""
-    return cross_entropy_scores(_t(spark, sf_dir, "documents"))
+    return cross_entropy_scores(_spread(_t(spark, sf_dir, "documents")))
 
 
 # planted boilerplate lines for the remove_boilerplate gate — shared between
@@ -269,7 +291,7 @@ def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p3 = F.when(k % 4 == 0, p1).otherwise(F.substring(c, 121, 60))
     built = d.select("doc_id", F.concat_ws("\n\n", p1, p2, p3).alias("text"))
-    return gopher_repetition(built)
+    return gopher_repetition(_spread(built))
 
 
 def _gopher_oracle() -> str:
@@ -477,7 +499,7 @@ def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus grams probe a BROADCAST eval-gram set map-side, contaminated ids
     broadcast back — the corpus side never shuffles (plan-asserted in
     tests/test_decontam.py)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     eval_docs = d.filter(F.col("doc_id") % 37 == 0)
     return decontaminate(d, eval_docs, n=13).select(
         "doc_id", "n_hits", "contaminated"
@@ -641,7 +663,7 @@ def _q_trigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sf0.01 corpus size (500 docs), so nothing is dropped where the
     oracle compares; at web scale it bounds the O(m^2) blowup of
     boilerplate grams."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     pairs, _dropped = ngram_jaccard_pairs(
         d, n=3, min_jaccard=0.01, max_gram_bucket=1000
     )
@@ -650,7 +672,7 @@ def _q_trigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors (vec_id % 50 == 0)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     # 4dp: coarse enough that a <=2-ulp engine difference in the double dot
     # product can't flip the rounded value or the (cosine, id) rank order
@@ -663,7 +685,7 @@ def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Labeled baseline ONLY: the self-join condition is a pure range predicate,
     so this is a corpus-wide cross product — infeasible at 100 TB. The
     scalable registered form is cosine_dup_pairs_blocked below."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return cosine_dup_pairs(emb, threshold=0.35, round_dp=4)
 
 
@@ -672,7 +694,7 @@ def _q_cosine_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join becomes an equi-join Catalyst shuffles on (plan-asserted: no
     BroadcastNestedLoopJoin). At 100 TB the block column is an LSH bucket /
     IVF list / cluster id; here the table's label column plays that role."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return cosine_dup_pairs(emb, threshold=0.35, round_dp=4, block_col="label")
 
 
@@ -684,7 +706,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (conditional counts nest the stage predicates; count(DISTINCT ...) only
     over final survivors) unpivoted with stack — at 100 TB this is one scan
     + one partial-aggregated shuffle, not four passes over the corpus."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     flags = (
         with_lang_id(d, text_col="text")
         .select("doc_id", "lang_pred")
@@ -732,7 +754,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-find; this row checks it against SQL recursion as well)."""
     from fuzzy_dedupe_pipeline_spark.cc import connected_components
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     pairs = cosine_dup_pairs(emb, threshold=0.35, round_dp=4, block_col="label")
     comp = connected_components(pairs.select("id1", "id2"))
     return (
@@ -753,7 +775,7 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     not — texts containing VT would tokenize differently. Same documented
     cross-runtime divergence class as \\x1c-\\x1f in normalize_text; the
     testdata corpus contains neither."""
-    return doc_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=4)
+    return doc_fingerprints(_spread(_t(spark, sf_dir, "documents")), k=8, window=4)
 
 
 def _planted_run_pages(spark: SparkSession, sf_dir: str):
@@ -767,6 +789,8 @@ def _planted_run_pages(spark: SparkSession, sf_dir: str):
             lambda i: F.concat(prefix, i.cast("string")),
         )
 
+    # NOT spread: 300 generated rows across ~6 count jobs — 32-way tasks
+    # cost more in scheduling than the per-row LCS work saves (measured).
     base = (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
@@ -994,7 +1018,7 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     clean = clean_docs(docs, "doc_id", "text")
     return simhash_near_dup_pairs(clean, DedupeConfig(), max_hamming=8).select(
         "id1", "id2", F.col("hamming").cast("int").alias("hamming"), "simhash_sim"
@@ -1023,7 +1047,7 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket density must match corpus size: 2^4 buckets x 16 tables over the
     # sf0.01 corpus gives measured recall 0.96 vs brute force (0.8 floor with
     # margin); at larger SF raise n_bits to keep ~corpus/2^bits per bucket
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     approx = lsh_ann_topk(emb, queries, k=5, dim=64, n_bits=4, n_tables=16)
     exact = brute_force_topk(emb, queries, k=5, round_dp=6)
@@ -1037,7 +1061,7 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.001 (the two corpora this gate runs on — driver compare and
     # test_each_query_runs). Floor 0.75 = min measured minus a 0.03 guard
     # (round-5 tightening from 0.7 so regressions can't hide in the slack).
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     approx = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4)
     exact = brute_force_topk(emb, queries, k=5, round_dp=6)
