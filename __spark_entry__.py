@@ -258,8 +258,11 @@ def _q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-fitted add-one unigram model (lmquality.cross_entropy_scores).
     Two corpus scans (fit, then score) joined on the vocab; see lmquality.py
     for the 10^12-doc plan and the float discipline (6dp logp, DECIMAL
-    shuffle-sum, 6dp final) that makes this row hash-checkable."""
-    return cross_entropy_scores(_spread(_t(spark, sf_dir, "documents")))
+    shuffle-sum, 6dp final) that makes this row hash-checkable. NOT _spread:
+    per-row work here is one tokenize (light), and the min-of-7 alternating
+    A/B read spread 1.15s vs unspread 0.76s at sf0.1 — the extra text
+    exchange costs more than 32-way tokenizing saves."""
+    return cross_entropy_scores(_t(spark, sf_dir, "documents"))
 
 
 # planted boilerplate lines for the remove_boilerplate gate — shared between
@@ -663,7 +666,8 @@ def _q_trigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sf0.01 corpus size (500 docs), so nothing is dropped where the
     oracle compares; at web scale it bounds the O(m^2) blowup of
     boilerplate grams."""
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")  # NOT _spread (A/B: 3.21 vs 3.03s —
+    # the gram explode shuffles right after the scan anyway)
     pairs, _dropped = ngram_jaccard_pairs(
         d, n=3, min_jaccard=0.01, max_gram_bucket=1000
     )
@@ -705,8 +709,10 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     + fraction of raw. The whole funnel is ONE job: a single aggregate row
     (conditional counts nest the stage predicates; count(DISTINCT ...) only
     over final survivors) unpivoted with stack — at 100 TB this is one scan
-    + one partial-aggregated shuffle, not four passes over the corpus."""
-    d = _spread(_t(spark, sf_dir, "documents"))
+    + one partial-aggregated shuffle, not four passes over the corpus.
+    NOT _spread (A/B: 1.41s spread vs 1.11s unspread — light per-row work,
+    and the funnel's three branches would each pay the exchange)."""
+    d = _t(spark, sf_dir, "documents")
     flags = (
         with_lang_id(d, text_col="text")
         .select("doc_id", "lang_pred")
