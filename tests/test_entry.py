@@ -33,3 +33,35 @@ def test_each_query_runs(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.columns  # schema resolvable
     df.limit(5).collect()
+
+
+def test_spread_guard(spark, tmp_path):
+    """_spread repartitions a single-split scan to the session's parallelism
+    but passes a well-split source through UNTOUCHED — the guard that keeps
+    the round-robin exchange out of the at-scale plan (a 100 TB source
+    arrives in thousands of splits; only the sandbox's one-row-group
+    testdata needs the rebalance)."""
+    n = spark.sparkContext.defaultParallelism
+    # one row group -> one input partition -> spread kicks in
+    single = entrymod._t(spark, "/root/testdata/sf0.001", "documents")
+    assert single.rdd.getNumPartitions() == 1
+    assert entrymod._spread(single).rdd.getNumPartitions() == n
+    # already well-split -> identity (same plan object, no exchange added)
+    wide = single.repartition(n)
+    spread = entrymod._spread(wide)
+    assert spread is wide
+
+
+def test_spread_queries_parallelize_scan_side(spark):
+    """The heavy per-row queries must evaluate their expensive projection
+    ABOVE the round-robin exchange (parallel), not below it (single-core):
+    the executed plan shows Exchange RoundRobinPartitioning between the
+    FileScan and the per-row work."""
+    df = entrymod.queries()["gopher_repetition"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    scan_pos = plan.index("FileScan")
+    rr_pos = plan.index("RoundRobinPartitioning")
+    agg_pos = plan.index("aggregate(")  # the run_stats HOF fold
+    # plan prints top-down: work above the exchange, exchange above the scan
+    assert agg_pos < rr_pos < scan_pos
