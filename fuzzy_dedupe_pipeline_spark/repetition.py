@@ -24,9 +24,19 @@ Scale design (the whole point): every signal is a function of ONE document,
 so the 100 TB plan is map-only — NO shuffle, NO Python. An explode ->
 groupBy(doc, unit) formulation would shuffle every token of the corpus;
 instead each unit array is array_sort()ed per row and folded with ONE linear
-F.aggregate run-scan whose struct accumulator carries (open-run length,
-distinct count, duplicate char mass, argmax char mass). Per-row cost is
-O(units log units); cluster cost is a single scan over the corpus.
+run-scan whose struct accumulator carries (open-run length, distinct count,
+duplicate char mass, argmax char mass, element count, char mass). Per-row
+cost is O(units log units); cluster cost is a single scan over the corpus.
+
+Construction note: each family's sort+fold is generated as ONE SQL
+expression string handed to a single expr() call, not composed from
+pyspark.sql.functions Column objects. The semantics are identical (it is
+the same Catalyst HigherOrderFunction tree after parsing); the difference
+is driver-side cost — the Column-object composition of 11 deep fold trees
+cost ~3 s of py4j round-trips PER QUERY CONSTRUCTION (measured, sf-
+independent), which dominated the query's 1.2 s of actual cluster work.
+One parse call per family cuts construction to milliseconds. Execution
+plans are byte-identical in shape: map-only, zero shuffle, no Python.
 
 The reference (a single-process contact-dedupe script, reference/main.py)
 has no quality model; this operator exists for the north-rule webtext
@@ -42,121 +52,97 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import tokens_simple
 
-
-def token_ngrams(toks: Column, n: int) -> Column:
-    """Adjacent-token n-grams joined by single spaces; arrays shorter than n
-    yield an empty array (F.sequence would otherwise count DOWN from 1)."""
-    size = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), size - n + 1),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
-
-
-def split_units(c: Column, sep: str) -> Column:
-    """Non-empty trimmed units of a text column split on a literal separator
-    (lines on '\\n', paragraphs on '\\n\\n')."""
-    parts = F.split(c, _re_escape(sep))
-    # NB: the explicit single-arg lambda matters — F.trim has an optional
-    # second parameter, so passing it bare makes transform() hand it the
-    # element INDEX as the trim-character set (nothing gets trimmed).
-    return F.filter(F.transform(parts, lambda x: F.trim(x)), lambda x: x != "")
-
-
-def _re_escape(sep: str) -> str:
-    # F.split takes a Java regex; our separators are newline runs only.
-    return sep.replace("\n", r"\n")
-
-
-def _zero() -> Column:
-    # built lazily: F.lit needs an active SparkContext, import time has none
-    return F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("cur"),
-        F.lit(0).cast("long").alias("u"),
-        F.lit(0).cast("long").alias("dupb"),
-        F.lit(0).cast("long").alias("dupa"),
-        F.lit(0).cast("long").alias("top_cnt"),
-        F.lit(0).cast("long").alias("top_chars"),
+def ngrams_sql(toks: str, n: int) -> str:
+    """SQL expr: adjacent-token n-grams of a token-array expression, joined
+    by single spaces; arrays shorter than n yield an empty array (sequence()
+    would otherwise count DOWN from 1)."""
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
 
 
-def _close(acc: Column, closing: Column) -> tuple[Column, ...]:
-    """Accumulator fields after (conditionally) closing the open run."""
-    runlen = acc["cur"]
-    runchars = runlen * F.length(acc["prev"])
-    dup_run = closing & (runlen > 1)
-    new_top = closing & (runlen > acc["top_cnt"])
-    tie_top = closing & (runlen == acc["top_cnt"])
-    u = (acc["u"] + F.when(closing, 1).otherwise(0)).cast("long")
-    dupb = (
-        acc["dupb"]
-        + F.when(dup_run, (runlen - 1) * F.length(acc["prev"])).otherwise(0)
-    ).cast("long")
-    dupa = (acc["dupa"] + F.when(dup_run, runchars).otherwise(0)).cast("long")
-    top_cnt = F.when(new_top, runlen).otherwise(acc["top_cnt"]).cast("long")
-    top_chars = (
-        F.when(new_top, runchars)
-        .when(tie_top, F.greatest(acc["top_chars"], runchars))
-        .otherwise(acc["top_chars"])
-        .cast("long")
+def units_sql(text: str, newlines: int) -> str:
+    """SQL expr: non-empty trimmed units of a text expression split on a run
+    of `newlines` newline characters (1 = lines, 2 = paragraphs). The split
+    pattern is a string literal containing literal newline chars — as a Java
+    regex they match exactly the same places as the escaped \\n form."""
+    sep = "\n" * newlines
+    return (
+        f"filter(transform(split({text}, '{sep}'), x -> trim(x)), "
+        f"x -> x != '')"
     )
-    return u, dupb, dupa, top_cnt, top_chars
 
 
-def run_stats(arr: Column) -> Column:
-    """Multiplicity stats of an array's values from one sort + one linear
-    fold — map-only, no explode, no shuffle.
+def tokens_sql(text: str) -> str:
+    """SQL expr: whitespace tokens, matching textstats.tokens_simple
+    (split on \\s+ then drop empties)."""
+    return rf"filter(split({text}, '\\s+'), x -> x != '')"
 
-    Returns struct(n, u, total_chars, dup_beyond_chars, dup_all_chars,
+
+def run_stats_sql(arr: str) -> str:
+    """SQL expr: multiplicity stats of an array expression's values from one
+    sort + one linear fold — map-only, no explode, no shuffle.
+
+    Evaluates to struct(n, u, total_chars, dup_beyond_chars, dup_all_chars,
     top_cnt, top_chars): element count, distinct count, total char mass,
     char mass of occurrences beyond the first, char mass of all occurrences
     of duplicated values, the max multiplicity, and count x len of the most
-    frequent value (ties -> larger char mass)."""
+    frequent value (ties -> larger char mass).
 
-    def merge(acc: Column, x: Column) -> Column:
-        same = acc["prev"].isNotNull() & (x == acc["prev"])
-        u, dupb, dupa, top_cnt, top_chars = _close(
-            acc, (~same) & (acc["cur"] > 0)
-        )
-        return F.struct(
-            x.alias("prev"),
-            F.when(same, acc["cur"] + 1)
-            .otherwise(F.lit(1))
-            .cast("long")
-            .alias("cur"),
-            u.alias("u"),
-            dupb.alias("dupb"),
-            dupa.alias("dupa"),
-            top_cnt.alias("top_cnt"),
-            top_chars.alias("top_chars"),
-        )
-
-    def finish(acc: Column) -> Column:
-        u, dupb, dupa, top_cnt, top_chars = _close(acc, acc["cur"] > 0)
-        return F.struct(
-            u.alias("u"),
-            dupb.alias("dup_beyond_chars"),
-            dupa.alias("dup_all_chars"),
-            top_cnt.alias("top_cnt"),
-            top_chars.alias("top_chars"),
-        )
-
-    folded = F.aggregate(F.array_sort(arr), _zero(), merge, finish)
-    return F.struct(
-        F.size(arr).cast("long").alias("n"),
-        folded["u"].alias("u"),
-        F.aggregate(
-            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-        ).alias("total_chars"),
-        folded["dup_beyond_chars"].alias("dup_beyond_chars"),
-        folded["dup_all_chars"].alias("dup_all_chars"),
-        folded["top_cnt"].alias("top_cnt"),
-        folded["top_chars"].alias("top_chars"),
+    The fold also accumulates n and total_chars (same multiset before and
+    after array_sort), so the WHOLE stat struct is one aggregate() — no
+    second pass over the array and no duplicated subtree in the plan."""
+    same = "(acc.prev IS NOT NULL AND x = acc.prev)"
+    closing = f"((NOT {same}) AND acc.cur > 0)"
+    runchars = "(acc.cur * length(acc.prev))"
+    dup_run = f"({closing} AND acc.cur > 1)"
+    new_top = f"({closing} AND acc.cur > acc.top_cnt)"
+    tie_top = f"({closing} AND acc.cur = acc.top_cnt)"
+    zero = (
+        "named_struct("
+        "'prev', CAST(NULL AS STRING), 'cur', CAST(0 AS BIGINT), "
+        "'u', CAST(0 AS BIGINT), 'dupb', CAST(0 AS BIGINT), "
+        "'dupa', CAST(0 AS BIGINT), 'top_cnt', CAST(0 AS BIGINT), "
+        "'top_chars', CAST(0 AS BIGINT), 'cnt', CAST(0 AS BIGINT), "
+        "'chars', CAST(0 AS BIGINT))"
     )
+    merge = f"""(acc, x) -> named_struct(
+      'prev', x,
+      'cur', CAST(CASE WHEN {same} THEN acc.cur + 1 ELSE 1 END AS BIGINT),
+      'u', CAST(acc.u + (CASE WHEN {closing} THEN 1 ELSE 0 END) AS BIGINT),
+      'dupb', CAST(acc.dupb + (CASE WHEN {dup_run}
+               THEN (acc.cur - 1) * length(acc.prev) ELSE 0 END) AS BIGINT),
+      'dupa', CAST(acc.dupa + (CASE WHEN {dup_run}
+               THEN {runchars} ELSE 0 END) AS BIGINT),
+      'top_cnt', CAST(CASE WHEN {new_top} THEN acc.cur
+                 ELSE acc.top_cnt END AS BIGINT),
+      'top_chars', CAST(CASE WHEN {new_top} THEN {runchars}
+                   WHEN {tie_top} THEN greatest(acc.top_chars, {runchars})
+                   ELSE acc.top_chars END AS BIGINT),
+      'cnt', CAST(acc.cnt + 1 AS BIGINT),
+      'chars', CAST(acc.chars + length(x) AS BIGINT))"""
+    f_closing = "(acc.cur > 0)"
+    f_dup = f"({f_closing} AND acc.cur > 1)"
+    f_new = f"({f_closing} AND acc.cur > acc.top_cnt)"
+    f_tie = f"({f_closing} AND acc.cur = acc.top_cnt)"
+    finish = f"""acc -> named_struct(
+      'n', acc.cnt,
+      'u', CAST(acc.u + (CASE WHEN {f_closing} THEN 1 ELSE 0 END) AS BIGINT),
+      'total_chars', acc.chars,
+      'dup_beyond_chars', CAST(acc.dupb + (CASE WHEN {f_dup}
+               THEN (acc.cur - 1) * length(acc.prev) ELSE 0 END) AS BIGINT),
+      'dup_all_chars', CAST(acc.dupa + (CASE WHEN {f_dup}
+               THEN {runchars} ELSE 0 END) AS BIGINT),
+      'top_cnt', CAST(CASE WHEN {f_new} THEN acc.cur
+                 ELSE acc.top_cnt END AS BIGINT),
+      'top_chars', CAST(CASE WHEN {f_new} THEN {runchars}
+                   WHEN {f_tie} THEN greatest(acc.top_chars, {runchars})
+                   ELSE acc.top_chars END AS BIGINT))"""
+    return f"aggregate(array_sort({arr}), {zero}, {merge}, {finish})"
 
 
 def _frac(num: Column, den: Column) -> Column:
@@ -181,21 +167,19 @@ def gopher_repetition(
     the exact character conventions). One map-only pass; the filtering
     decision a pipeline makes downstream is a plain range predicate over
     these columns (Gopher's published cuts are in the module docstring)."""
-    text = F.col(text_col)
-    staged = df.select(
-        F.col(id_col),
-        F.length(text).cast("long").alias("_doc_chars"),
-        run_stats(split_units(text, "\n")).alias("_ln"),
-        run_stats(split_units(text, "\n\n")).alias("_pr"),
-        tokens_simple(text).alias("_toks"),
+    tid, ttx = f"`{id_col}`", f"`{text_col}`"
+    staged = df.selectExpr(
+        tid,
+        f"CAST(length({ttx}) AS BIGINT) AS _doc_chars",
+        f"{run_stats_sql(units_sql(ttx, 1))} AS _ln",
+        f"{run_stats_sql(units_sql(ttx, 2))} AS _pr",
+        f"{tokens_sql(ttx)} AS _toks",
     )
-    gram_cols = [
-        run_stats(token_ngrams(F.col("_toks"), n)).alias(f"_g{n}")
+    gram_exprs = [
+        f"{run_stats_sql(ngrams_sql('_toks', n))} AS _g{n}"
         for n in sorted(set(top_ns) | set(dup_ns))
     ]
-    staged = staged.select(
-        id_col, "_doc_chars", "_ln", "_pr", *gram_cols
-    )
+    staged = staged.selectExpr(tid, "_doc_chars", "_ln", "_pr", *gram_exprs)
     ln, pr = F.col("_ln"), F.col("_pr")
     out = [
         F.col(id_col),
