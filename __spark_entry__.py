@@ -47,7 +47,12 @@ from fuzzy_dedupe_pipeline_spark.packing import (
 from fuzzy_dedupe_pipeline_spark.sketches import distinct_stats, rel_err_ok_col
 from fuzzy_dedupe_pipeline_spark.lmquality import cross_entropy_scores
 from fuzzy_dedupe_pipeline_spark.repetition import gopher_repetition
-from fuzzy_dedupe_pipeline_spark.urltools import domain_stats, url_dup_stats
+from fuzzy_dedupe_pipeline_spark.canonical import quality_representatives
+from fuzzy_dedupe_pipeline_spark.urltools import (
+    domain_stats,
+    url_dup_stats,
+    with_blocklist_flag,
+)
 from fuzzy_dedupe_pipeline_spark.textstats import (
     c4_line_filter,
     doc_fingerprints,
@@ -251,6 +256,32 @@ def _q_domain_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.concat(F.lit("tpl"), (F.col("doc_id") % 11).cast("string"))
     )
     return domain_stats(pages)
+
+
+_BLOCKED_DOMAINS = ["site3.com", "site5.com"]
+
+
+def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-0 webtext op: domain-blocklist filtering (UT1 / RefinedWeb /
+    Dolma domain blocks) with SUBDOMAIN suffix matching — 'site3.com'
+    blocks 'www.site3.com'. Exercises the UT1-scale DataFrame form of
+    urltools.with_blocklist_flag: the host's dot-suffix chain explodes
+    map-side into a LEFT SEMI probe of the BROADCAST blocklist (the corpus
+    relation never shuffles; only the O(blocked docs) hit-id distinct
+    does), hits broadcast back as the flag join — decontam's join shape.
+
+    Over the shared messy-URL synth, so the oracle computes host + blocked
+    analytically from doc_id arithmetic: any mishandled scheme / case /
+    port / trailing-dot variant, or a broken suffix chain (the www. rows
+    match ONLY via the subdomain-suffix rule), flips a flag and fails the
+    value hash."""
+    pages = _messy_url_pages(spark, sf_dir)
+    bl = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    return with_blocklist_flag(
+        pages, bl, url_col="url", id_col="doc_id"
+    ).select("doc_id", "host", "blocked")
 
 
 def _q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,6 +1054,43 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over the REAL near-dup clusters:
+    per MinHash-LSH cluster, keep the member with the highest quality score
+    (ties -> smallest doc_id) — the survivor rule web pipelines apply to
+    dedup families (canonical.quality_representatives: struct-MIN arg-max,
+    partial-aggregable, no per-cluster sort — a giant boilerplate family
+    never serializes on one task).
+
+    Oracle independence: the Spark side runs the engine end-to-end
+    (dedupe_clusters + quality_score_cols); DuckDB recomputes the quality
+    model analytically over `documents` and joins it to the INDEPENDENT
+    golden-parquet cluster assignments (tools/make_golden.py's union-find),
+    so one hash checks the clustering, the quality model, and the arg-max
+    tie-break order together with zero engine code on the oracle side."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedupe_clusters(
+        spark,
+        docs,
+        DedupeConfig(),
+        id_col="doc_id",
+        text_col="text",
+        with_substring=False,
+    )
+    members = clusters.select(
+        F.col("url").cast("long").alias("id"), "cluster_id"
+    )
+    scores = quality_score_cols(docs).select(
+        F.col("doc_id").alias("id"), "quality_score"
+    )
+    return quality_representatives(members, scores).select(
+        "cluster_id",
+        F.col("rep_id").cast("long").alias("rep_doc_id"),
+        F.col("rep_score").alias("rep_quality"),
+        "n_members",
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
     clean = clean_docs(docs, "doc_id", "text")
@@ -1176,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "domain_dup_stats": _q_domain_dup_stats,
+        "domain_blocklist_filter": _q_blocklist_filter,
         "lm_cross_entropy": _q_lm_cross_entropy,
         "gopher_repetition": _q_gopher_repetition,
         "remove_boilerplate": _q_remove_boilerplate,
@@ -1208,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked against an independent implementation instead, see
         # tools/make_golden.py)
         "minhash_lsh_dedup": _q_minhash_dedup,
+        "quality_canonical": _q_quality_canonical,
         "simhash_near_dup": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
@@ -1358,6 +1428,17 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - count(DISTINCT text)::DOUBLE
                              / count(DISTINCT canonical_url), 6) AS text_dup_rate
             FROM u GROUP BY domain
+        """,
+        "domain_blocklist_filter": """
+            -- analytic host + blocked flag from the messy-URL residues:
+            -- k%3=0 rows keep their www. label (suffix-rule coverage),
+            -- ports/trailing dots/case must all have been normalized away
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'www.site' || (doc_id % 7) || '.com'
+                        ELSE 'site' || (doc_id % 7) || '.com' END AS host,
+                   (doc_id % 7) IN (3, 5) AS blocked
+            FROM documents
         """,
         "lm_cross_entropy": rf"""
             WITH toks AS (
@@ -1851,6 +1932,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id, confidence_score, duplicate_count,
                    is_representative
             FROM read_parquet('{GOLDEN_DIR}/minhash_clusters_sf001.parquet')
+        """,
+        # quality model recomputed analytically (same expressions as the
+        # quality_score oracle above — keep the two in sync) over the
+        # INDEPENDENT golden cluster assignments: checks clustering +
+        # quality + arg-max tie-break in one hash, zero engine code here
+        "quality_canonical": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(text)::BIGINT AS n_chars,
+                     len({_TOKS})::BIGINT AS n_tokens,
+                     {sw_hits}::BIGINT AS sw_hits,
+                     (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')))::BIGINT AS punct
+              FROM documents
+            ), q AS (
+              SELECT doc_id,
+                     round(
+                       (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN (n_chars - (n_tokens - 1)) / NULLIF(n_tokens,0)::DOUBLE >= 3
+                             AND (n_chars - (n_tokens - 1)) / NULLIF(n_tokens,0)::DOUBLE <= 12 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN sw_hits / NULLIF(n_tokens,0)::DOUBLE >= 0.01 THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN n_chars = 0 OR punct / n_chars::DOUBLE <= 0.2 THEN 0.1 ELSE 0.0 END), 6) AS quality_score
+              FROM t
+            ), g AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, cluster_id
+              FROM read_parquet('{GOLDEN_DIR}/minhash_clusters_sf001.parquet')
+            ), r AS (
+              SELECT g.cluster_id, g.doc_id, q.quality_score,
+                     row_number() OVER (
+                       PARTITION BY g.cluster_id
+                       ORDER BY q.quality_score DESC, g.doc_id ASC
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY g.cluster_id) AS n_members
+              FROM g JOIN q USING (doc_id)
+            )
+            SELECT cluster_id,
+                   doc_id AS rep_doc_id,
+                   quality_score AS rep_quality,
+                   n_members::BIGINT AS n_members
+            FROM r WHERE rn = 1
         """,
         "simhash_near_dup": f"""
             SELECT id1, id2, hamming, simhash_sim

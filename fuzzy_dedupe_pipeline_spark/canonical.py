@@ -16,6 +16,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def quality_representatives(
+    members: DataFrame,  # (id, cluster_id)
+    scores: DataFrame,   # (id, <score_col>)
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster, keep the
+    member with the HIGHEST quality score (ties -> smallest id) — what
+    web-curation pipelines do with dedup clusters (keep the best page of a
+    near-dup family, not an arbitrary one; C4/Gopher/Dolma all pick a
+    survivor by a quality signal rather than first-seen). Extends A3: the
+    reference's "most complete record" arg-max (dedupe_logic/
+    processor.py:236-244) with the quality model standing in for field
+    completeness.
+
+    Returns (cluster_id, rep_id, rep_score, n_members).
+
+    Scale shape: one equi-join of members to scores on id, then ONE
+    partial-aggregable groupBy on cluster_id — the arg-max is a struct MIN
+    over (-score, id), so map-side combine collapses every partition's
+    contribution to one row per cluster BEFORE the exchange and a giant
+    boilerplate cluster (millions of members) never sorts: no window, no
+    per-cluster skew. (-x is exact in IEEE, so un-negating reproduces the
+    score bit-for-bit.) Members without a score row are dropped by the
+    inner join — score every doc first (quality_score_cols is map-only).
+    """
+    joined = members.join(scores.select("id", score_col), "id")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(score_col)).alias("_neg_score"),
+                    F.col("id").alias("_id"),
+                )
+            ).alias("_best"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("_best._id").alias("rep_id"),
+            (-F.col("_best._neg_score")).alias("rep_score"),
+            "n_members",
+        )
+    )
+
+
 def cluster_output(
     members: DataFrame,  # (id, cluster_id)
     edges: DataFrame,    # verified pairs: (id1, id2, confidence, ...)

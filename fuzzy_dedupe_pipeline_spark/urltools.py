@@ -132,6 +132,81 @@ def url_dup_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def host_col(url: Column) -> Column:
+    """RAW host of a URL for blocklist matching: scheme + userinfo stripped,
+    lowercased, port and trailing dot removed — but the subdomain labels
+    KEPT (unlike the canonical form's www.-strip): blocklists match by
+    domain SUFFIX, so the chain must see every label. NULL-safe."""
+    u = _strip_scheme(url)
+    hostport = F.lower(F.regexp_extract(u, r"^([^/?]*)", 1))
+    hostport = F.regexp_replace(hostport, r"^[^@]*@", "")
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    return F.regexp_replace(host, r"\.$", "")
+
+
+def host_suffixes_col(host: Column) -> Column:
+    """Dot-suffix chain of a host: 'a.b.example.com' ->
+    ['a.b.example.com', 'b.example.com', 'example.com', 'com'] — a
+    blocklist entry 'example.com' thereby blocks every subdomain, the UT1 /
+    RefinedWeb matching rule. Pure JVM higher-order functions (split +
+    transform + slice): whole-stage codegen, no Python."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n)),
+    )
+
+
+def with_blocklist_flag(
+    pages: DataFrame,
+    blocked,
+    url_col: str = "url",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Adds (host, blocked): blocked = any dot-suffix of the host appears in
+    the blocklist — the domain-blocklist filter (UT1 adult/malware lists in
+    RefinedWeb; Dolma's domain blocks) a crawl pipeline applies before
+    spending any compute on a page's text. Filter `~blocked` downstream.
+
+    Two forms by blocklist size:
+      * blocked: Sequence[str] — a literal array probed with arrays_overlap:
+        map-only, ZERO shuffle, fine for config-sized lists.
+      * blocked: DataFrame['domain'] — UT1-scale lists (millions of
+        domains): the suffix chain explodes map-side into a LEFT SEMI
+        broadcast hash probe (the corpus never shuffles — decontam.py's
+        join shape), hit ids distinct (O(blocked docs) only) and broadcast
+        back as the flag join. Requires ``id_col`` (a unique row key).
+
+    The reference has no URL concept (it dedups contact rows,
+    reference/dedupe_logic/processor.py); this tier exists for the
+    north-rule crawl-table input.
+    """
+    d = pages.withColumn("host", host_col(F.col(url_col)))
+    sufs = host_suffixes_col(F.col("host"))
+    if isinstance(blocked, DataFrame):
+        if id_col is None:
+            raise ValueError("DataFrame blocklist needs id_col (unique row key)")
+        bl = F.broadcast(
+            blocked.select(F.lower(F.col("domain")).alias("suffix")).distinct()
+        )
+        hits = (
+            d.select(id_col, F.explode(sufs).alias("suffix"))
+            .join(bl, "suffix", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        return d.join(
+            F.broadcast(hits.withColumn("blocked", F.lit(True))),
+            id_col,
+            "left",
+        ).withColumn("blocked", F.coalesce("blocked", F.lit(False)))
+    arr = F.array(*[F.lit(b.lower()) for b in sorted(set(blocked))])
+    return d.withColumn(
+        "blocked", F.coalesce(F.arrays_overlap(sufs, arr), F.lit(False))
+    )
+
+
 def domain_col(canon: Column) -> Column:
     """Host part of a canonical URL (everything before the first '/', '?' or
     ':'). On the canonical form this is already lowercased, www.-stripped and

@@ -205,3 +205,40 @@ def test_metrics_compact_is_crash_safe(spark, tmp_path):
         (r["stage"], r["rows_out"]) for r in log2.read().collect()
     ) == after
     assert len(glob.glob(f"{log2.path}/*.parquet")) == 1
+
+
+def test_quality_representatives_argmax_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from fuzzy_dedupe_pipeline_spark.canonical import quality_representatives
+
+    members = spark.createDataFrame(
+        [
+            ("a", "c1"), ("b", "c1"), ("c", "c1"),
+            ("d", "c2"), ("e", "c2"),
+            ("f", "c3"),
+        ],
+        "id string, cluster_id string",
+    )
+    scores = spark.createDataFrame(
+        [
+            ("a", 0.5), ("b", 0.9), ("c", 0.9),   # tie at 0.9 -> min id "b"
+            ("d", 0.1), ("e", 0.0),
+            ("f", 0.7),
+            ("zz", 1.0),                           # no member row -> ignored
+        ],
+        "id string, quality_score double",
+    )
+    got = {
+        r.cluster_id: (r.rep_id, r.rep_score, r.n_members)
+        for r in quality_representatives(members, scores).collect()
+    }
+    assert got == {
+        "c1": ("b", 0.9, 3),
+        "c2": ("d", 0.1, 2),
+        "c3": ("f", 0.7, 1),
+    }
+    # scale shape: partial aggregation (no window/sort exchange on cluster)
+    plan = quality_representatives(members, scores)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan

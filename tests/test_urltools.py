@@ -180,3 +180,59 @@ def test_domain_stats_single_shuffle(spark):
     # one aggregation exchange (plus the expand for the two exact distincts);
     # no join, no cartesian
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+# -- domain blocklist ---------------------------------------------------------
+
+from fuzzy_dedupe_pipeline_spark.urltools import (  # noqa: E402
+    host_col,
+    host_suffixes_col,
+    with_blocklist_flag,
+)
+
+_BL_URLS = [
+    (1, "https://www.Bad.COM/x"),          # subdomain of a blocked domain
+    (2, "http://deep.a.bad.com.:8080/y"),  # deeper subdomain, port + dot
+    (3, "https://user:pw@bad.com/z"),      # userinfo, exact domain
+    (4, "https://goodbad.com/x"),          # SUFFIX of the name, NOT a label
+    (5, "https://bad.com.evil.org/x"),     # blocked name as non-terminal label
+    (6, "https://fine.org/x"),
+    (7, None),
+]
+
+
+def _bl_flags(spark, blocked):
+    df = spark.createDataFrame(_BL_URLS, "doc_id long, url string")
+    out = with_blocklist_flag(df, blocked, id_col="doc_id")
+    return {r.doc_id: r.blocked for r in out.collect()}
+
+
+def test_blocklist_suffix_matching_literal_and_df(spark):
+    # bad.com blocks itself and every subdomain; goodbad.com must NOT match
+    # (suffix chain is label-aligned), and bad.com.evil.org must NOT match
+    # (bad.com is not a dot-suffix there)
+    want = {1: True, 2: True, 3: True, 4: False, 5: False, 6: False, 7: False}
+    assert _bl_flags(spark, ["bad.com"]) == want
+    bl_df = spark.createDataFrame([("BAD.com",)], "domain string")
+    assert _bl_flags(spark, bl_df) == want
+
+
+def test_blocklist_df_form_requires_id(spark):
+    df = spark.createDataFrame(_BL_URLS, "doc_id long, url string")
+    bl_df = spark.createDataFrame([("bad.com",)], "domain string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        with_blocklist_flag(df, bl_df)
+
+
+def test_host_and_suffix_chain(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://u@A.B.Example.COM.:443//p?q=1#f",)], "url string"
+    )
+    row = df.select(
+        host_col(F.col("url")).alias("h"),
+        host_suffixes_col(host_col(F.col("url"))).alias("s"),
+    ).collect()[0]
+    assert row.h == "a.b.example.com"
+    assert row.s == ["a.b.example.com", "b.example.com", "example.com", "com"]
