@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "top_ngrams",
     "url_canonical_dedup",
     "domain_dup_stats",
+    "domain_blocklist_filter",
     "lm_cross_entropy",
     "gopher_repetition",
     "remove_boilerplate",
@@ -69,6 +70,7 @@ BENCH_QUERIES = [
     "join_agg_revenue",
     "window_running",
     "minhash_lsh_dedup",
+    "quality_canonical",
     "simhash_near_dup",
 ]
 
