@@ -270,3 +270,24 @@ def test_top_ngrams_partial_agg_and_topk_heap(spark):
     before, _, after = plan.partition("Exchange")
     assert "HashAggregate" in before and "HashAggregate" in after
     assert "TakeOrderedAndProject" in plan
+
+
+def test_blocklist_plans(spark):
+    """Literal-list form: map-only (zero Exchange). DataFrame form: every
+    join is a broadcast hash probe (the corpus relation never shuffles),
+    nothing degenerates to a nested-loop/cartesian join."""
+    from fuzzy_dedupe_pipeline_spark.urltools import with_blocklist_flag
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.bad.com/x"), (2, "https://fine.org/y")],
+        "doc_id long, url string",
+    )
+    lit_plan = _plan(with_blocklist_flag(pages, ["bad.com"]))
+    assert "Exchange" not in lit_plan
+
+    bl = spark.createDataFrame([("bad.com",)], "domain string")
+    df_plan = _plan(with_blocklist_flag(pages, bl, id_col="doc_id"))
+    assert "BroadcastHashJoin" in df_plan
+    assert "SortMergeJoin" not in df_plan
+    assert "CartesianProduct" not in df_plan
+    assert "BroadcastNestedLoopJoin" not in df_plan
