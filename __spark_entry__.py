@@ -71,7 +71,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, min_mb: float = 0.0) -> DataFrame:
     """Round-robin an under-split scan across the session's cores.
 
     The driver's testdata parquet is ONE row group per file, so the scan
@@ -82,14 +82,29 @@ def _spread(df: DataFrame) -> DataFrame:
     pass below runs on a single core. The guard makes it scale-honest: a
     well-split source (100 TB arrives in thousands of splits; a bucketed
     Iceberg table) is returned untouched, so the repartition never appears
-    in the at-scale plan. Applied only where per-row work dominates —
-    cheap scans keep their zero-exchange plans (plan-asserted in
-    tests/test_plans.py). The flagship path has its own guard
-    (dataflow.dedupe_clusters rebalance_input)."""
+    in the at-scale plan. The flagship path has its own guard
+    (dataflow.dedupe_clusters rebalance_input).
+
+    min_mb makes the guard SCALE-ADAPTIVE (guide §2): the exchange has a
+    fixed stage/scheduling cost (~0.3 s measured on this host), so for small
+    under-split inputs spreading LOSES (the round-4/5 per-query A/Bs at
+    sf0.1, where documents.parquet is ~0.6 MB, measured exactly that). But
+    per-row work grows linearly with input bytes while the exchange cost is
+    ~flat at these sizes, so above a size floor spreading always wins — at
+    the driver's round-5 measurement scale (sf1.0, documents ~5.7 MB, one
+    row group) every unspread text query ran single-core for seconds.
+    min_mb=0 keeps the unconditional round-5 behavior; the estimate is the
+    optimizer's sizeInBytes of the plan (file size for a parquet scan)."""
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
+    if min_mb > 0.0:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if size < min_mb * (1 << 20):
+            return df
     return df.repartition(n)
 
 
@@ -128,10 +143,14 @@ _ASCII_NONWORD = "[^a-z0-9_ ]"
 
 def _norm_ascii(c):
     # ASCII-explicit normalization (entry-parity variant of P3; the engine's
-    # normalize_text_col keeps Python-re Unicode semantics instead)
+    # normalize_text_col keeps Python-re Unicode semantics instead).
+    # Char removal runs as keep-run concatenation (complement of
+    # _ASCII_NONWORD): byte-identical output, but one regex find() per kept
+    # run instead of a restart at every position of a rarely-matching
+    # negated class — see normalize.normalize_text_col (r6).
     out = F.lower(F.trim(c))
     out = F.regexp_replace(out, r"\s+", " ")
-    return F.regexp_replace(out, _ASCII_NONWORD, "")
+    return F.array_join(F.regexp_extract_all(out, F.lit(r"[a-z0-9_ ]+"), 0), "")
 
 
 def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +167,7 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_score_cols(_t(spark, sf_dir, "documents"))
+    return quality_score_cols(_spread(_t(spark, sf_dir, "documents"), min_mb=2.0))
 
 
 # GPT-2-style pre-tokenizer pieces: contraction suffixes, space-prefixed
@@ -167,7 +186,7 @@ def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline needs BEFORE running a real tokenizer), next to the whitespace
     token count for comparison. Pure JVM regexp_count — whole-stage codegen,
     no Python on the hot path."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), min_mb=2.0)
     return d.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
@@ -178,7 +197,7 @@ def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), min_mb=2.0)
     # with_lang_id tokenizes once (staged projections); lang_id_col would
     # re-split the text once per language in a single expression tree
     return with_lang_id(d, text_col="text").select("doc_id", "lang_pred")
@@ -188,7 +207,7 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data op: Gopher-style repetition filter signals — per-doc
     duplicate-token and duplicate-bigram fractions as pure JVM array
     expressions (map-only: no shuffle, no Python)."""
-    return repetition_stats(_t(spark, sf_dir, "documents"))
+    return repetition_stats(_spread(_t(spark, sf_dir, "documents"), min_mb=2.0))
 
 
 def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,8 +256,7 @@ def _messy_url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("?a=1&b=2#frag"))
     )
     return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
+        _spread(_t(spark, sf_dir, "documents").select("doc_id"), min_mb=2.0)
         .select("doc_id", F.concat(scheme, host, path, qs).alias("url"))
     )
 
@@ -289,11 +307,12 @@ def _q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-fitted add-one unigram model (lmquality.cross_entropy_scores).
     Two corpus scans (fit, then score) joined on the vocab; see lmquality.py
     for the 10^12-doc plan and the float discipline (6dp logp, DECIMAL
-    shuffle-sum, 6dp final) that makes this row hash-checkable. NOT _spread:
-    per-row work here is one tokenize (light), and the min-of-7 alternating
-    A/B read spread 1.15s vs unspread 0.76s at sf0.1 — the extra text
-    exchange costs more than 32-way tokenizing saves."""
-    return cross_entropy_scores(_t(spark, sf_dir, "documents"))
+    shuffle-sum, 6dp final) that makes this row hash-checkable. _spread is
+    SIZE-GATED (r6): the min-of-7 A/B at sf0.1 read spread 1.15s vs unspread
+    0.76s (the exchange costs more than 32-way tokenizing saves at 0.6 MB),
+    but at the driver's sf1.0 scale the unspread scan tokenized 50k docs on
+    one core for 2.8 s — the 2 MB floor keeps both regimes on their winner."""
+    return cross_entropy_scores(_spread(_t(spark, sf_dir, "documents"), min_mb=2.0))
 
 
 # planted boilerplate lines for the remove_boilerplate gate — shared between
@@ -441,7 +460,7 @@ def _q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically: a nav line in every doc, a copyright line in 1/3,
     a subscribe line in 1/7 (all above the 1/8 threshold -> removed) and two
     unique content slices of the doc's own text (below it -> kept)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), min_mb=2.0)
     k, c = F.col("doc_id"), F.col("text")
     built = d.select(
         "doc_id",
@@ -464,7 +483,7 @@ def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     braces / lorem-ipsum, order preserved, one map-only JVM array pass.
     Multi-line docs are synthesized deterministically with one line per
     rejection reason plus content slices of the doc's own tokens."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), min_mb=2.0)
     k, c = F.col("doc_id"), F.col("text")
     toks = F.split(c, " ")
     built = d.select(
@@ -492,7 +511,7 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     of docs, a phone in 1/4, an IPv4 in 1/4, nothing in the rest); the
     DuckDB oracle runs the byte-identical RE2-compatible patterns, so the
     parity check covers replace/count semantics end to end."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), min_mb=2.0)
     k, c = F.col("doc_id"), F.col("text")
     s = lambda col: col.cast("string")
     planted = F.concat(
@@ -697,8 +716,10 @@ def _q_trigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sf0.01 corpus size (500 docs), so nothing is dropped where the
     oracle compares; at web scale it bounds the O(m^2) blowup of
     boilerplate grams."""
-    d = _t(spark, sf_dir, "documents")  # NOT _spread (A/B: 3.21 vs 3.03s —
-    # the gram explode shuffles right after the scan anyway)
+    # size-gated _spread (r6): the sf0.1 A/B (3.21 vs 3.03s) showed the
+    # exchange losing at 0.6 MB, but at sf1.0 the tokenize+posexplode scan
+    # stage ran single-core for seconds; the 2 MB floor keeps both winners
+    d = _spread(_t(spark, sf_dir, "documents"), min_mb=2.0)
     pairs, _dropped = ngram_jaccard_pairs(
         d, n=3, min_jaccard=0.01, max_gram_bucket=1000
     )
@@ -741,17 +762,25 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (conditional counts nest the stage predicates; count(DISTINCT ...) only
     over final survivors) unpivoted with stack — at 100 TB this is one scan
     + one partial-aggregated shuffle, not four passes over the corpus.
-    NOT _spread (A/B: 1.41s spread vs 1.11s unspread — light per-row work,
-    and the funnel's three branches would each pay the exchange)."""
-    d = _t(spark, sf_dir, "documents")
-    flags = (
-        with_lang_id(d, text_col="text")
-        .select("doc_id", "lang_pred")
-        .join(quality_score_cols(d).select("doc_id", "quality_score"), "doc_id")
-        .join(
-            d.select("doc_id", _norm_ascii(F.col("text")).alias("text_norm")),
-            "doc_id",
-        )
+
+    r6: the three per-row signals (lang_pred, quality_score, text_norm) are
+    now composed in ONE projection chain over ONE scan — the previous
+    three-way self-join on doc_id re-scanned documents three times and paid
+    two join shuffles for columns that are all row-local functions of the
+    same text (guide §2.4: remove shuffles outright). Row-wise identical:
+    the joins were inner on the unique doc_id key, so every doc contributed
+    exactly one row with exactly these three values before and after.
+    _spread is size-gated: the sf0.1 A/B (1.41s spread vs 1.11s unspread)
+    still holds under the 2 MB floor; at sf1.0 the fused single-scan chain
+    is heavy enough that the exchange pays for itself."""
+    d = _spread(_t(spark, sf_dir, "documents"), min_mb=2.0)
+    flags = quality_score_cols(
+        with_lang_id(d, text_col="text"), keep=("lang_pred", "text")
+    ).select(
+        "doc_id",
+        "lang_pred",
+        "quality_score",
+        _norm_ascii(F.col("text")).alias("text_norm"),
     )
     en = F.col("lang_pred") == "en"
     q = en & (F.col("quality_score") >= 0.7)

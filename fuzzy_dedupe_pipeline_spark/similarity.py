@@ -38,6 +38,72 @@ def _cosine_col(a, b):
     return F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(F.lit(0.0))
 
 
+# --- fixed-dim fast path ----------------------------------------------------
+#
+# The HOF form above (aggregate over zip_with) runs INTERPRETED: Catalyst
+# evaluates the lambda per element per row with no whole-stage codegen, and
+# zip_with allocates an intermediate array per pair. For a pairwise similarity
+# join that expression dominates the query (guide §1.2 "per-task work").
+# When the embedding dimension is statically known, the identical arithmetic
+# unrolls into a flat Add/Multiply tree that whole-stage codegen compiles to
+# straight-line JVM code — SAME left-fold association ((0.0+p0)+p1)+...,
+# SAME per-element double casts, so results are bit-identical to the HOF form
+# (IEEE addition order preserved; Java does not re-associate or auto-FMA).
+# NULL semantics match for well-formed (equal-length, dim-sized) vectors;
+# vectors shorter than dim yield NULL here vs a partial sum in the HOF form —
+# callers pass `dim` only for tables whose vectors are all exactly dim-long.
+
+
+def _dot_unrolled(a, b, dim: int):
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+            "double"
+        )
+    return acc
+
+
+def _norm_unrolled(a, dim: int):
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        v = F.element_at(a, i).cast("double")
+        acc = acc + v * v
+    return F.sqrt(acc)
+
+
+def _dot_guarded(a, b, dim: int):
+    """dot(a, b): unrolled codegen path when both arrays are exactly dim
+    long (lazily-evaluated CASE branch), original HOF fold otherwise —
+    value-equal to _cosine_col's dot for EVERY input."""
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), _dot_unrolled(a, b, dim)
+    ).otherwise(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _norm_guarded(a, dim: int):
+    """sqrt(sum sq): unrolled when the array is exactly dim long, HOF fold
+    otherwise — value-equal to _cosine_col's norms for EVERY input."""
+    return F.when(F.size(a) == dim, _norm_unrolled(a, dim)).otherwise(
+        F.sqrt(
+            F.aggregate(
+                a,
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
+    )
+
+
+def _cosine_from_parts(dot, n1, n2):
+    return F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -45,27 +111,37 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    dim_hint: int = 64,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine) — exact top-k, self-match excluded.
 
     queries must be broadcast-small (the common ANN-serving shape); the corpus
     side streams. Deterministic total order: cosine desc, neighbor_id asc.
+
+    Norms are precomputed per ROW before the pair join (same expression value,
+    computed n+q times instead of n*q times) and the per-pair dot runs the
+    guarded unrolled path (see _dot_guarded) — bit-identical results.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    ).withColumn("_qn", _norm_guarded(F.col("qvec"), dim_hint))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
+    ).withColumn("_cn", _norm_guarded(F.col("cvec"), dim_hint))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine_col(F.col("qvec"), F.col("cvec")), round_dp).alias(
-                "cosine"
-            ),
+            F.round(
+                _cosine_from_parts(
+                    _dot_guarded(F.col("qvec"), F.col("cvec"), dim_hint),
+                    F.col("_qn"),
+                    F.col("_cn"),
+                ),
+                round_dp,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -85,6 +161,7 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     round_dp: int = 4,
     block_col: str | None = None,
+    dim_hint: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1, id2, cosine) with
     id1 < id2 and round(cosine, round_dp) >= threshold.
@@ -93,14 +170,22 @@ def cosine_dup_pairs(
     cross-join is infeasible corpus-wide — pass block_col (a cluster/prefix/
     LSH-bucket column) to restrict the join to equi-blocks Catalyst shuffles
     on, or generate candidates with lsh_ann_topk and verify those pairs only.
+
+    Per-pair work is the guarded unrolled dot (codegen; see _dot_guarded) and
+    norms are precomputed per ROW before the join — O(n) norm computations
+    instead of O(pairs), value-identical to the HOF form for every input.
     """
     left_cols = [F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")]
     right_cols = [F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")]
     if block_col is not None:
         left_cols.append(F.col(block_col).alias("b1"))
         right_cols.append(F.col(block_col).alias("b2"))
-    a = corpus.select(*left_cols)
-    b = corpus.select(*right_cols)
+    a = corpus.select(*left_cols).withColumn(
+        "_n1", _norm_guarded(F.col("v1"), dim_hint)
+    )
+    b = corpus.select(*right_cols).withColumn(
+        "_n2", _norm_guarded(F.col("v2"), dim_hint)
+    )
     cond = F.col("id1") < F.col("id2")
     if block_col is not None:
         cond = (F.col("b1") == F.col("b2")) & cond
@@ -109,9 +194,14 @@ def cosine_dup_pairs(
         .select(
             "id1",
             "id2",
-            F.round(_cosine_col(F.col("v1"), F.col("v2")), round_dp).alias(
-                "cosine"
-            ),
+            F.round(
+                _cosine_from_parts(
+                    _dot_guarded(F.col("v1"), F.col("v2"), dim_hint),
+                    F.col("_n1"),
+                    F.col("_n2"),
+                ),
+                round_dp,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -153,22 +243,31 @@ def lsh_ann_topk(
     udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
     cb = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+        .withColumn("_cn", _norm_guarded(F.col("cvec"), dim))
         .withColumn("bucket", F.explode(udf(F.col("cvec"))))
     )
     qb = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("_qn", _norm_guarded(F.col("qvec"), dim))
         .withColumn("bucket", F.explode(udf(F.col("qvec"))))
     )
     cand = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .select("query_id", "qvec", "_qn", "neighbor_id", "cvec", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(_cosine_col(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        F.round(
+            _cosine_from_parts(
+                _dot_guarded(F.col("qvec"), F.col("cvec"), dim),
+                F.col("_qn"),
+                F.col("_cn"),
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -244,6 +343,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim_hint: int = 64,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into n_lists inverted lists keyed
     by nearest centroid; a query probes its n_probe nearest centroids and
@@ -274,15 +374,19 @@ def ivf_topk(
 
         return assign
 
-    corp = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    ).withColumn(
-        "list_id", F.element_at(make_assign_udf(1)(F.col("cvec")), 1)
+    corp = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+        .withColumn("_cn", _norm_guarded(F.col("cvec"), dim_hint))
+        .withColumn("list_id", F.element_at(make_assign_udf(1)(F.col("cvec")), 1))
     )
-    qry = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn(
-        "list_id", F.explode(make_assign_udf(n_probe)(F.col("qvec")))
+    qry = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn("_qn", _norm_guarded(F.col("qvec"), dim_hint))
+        .withColumn("list_id", F.explode(make_assign_udf(n_probe)(F.col("qvec"))))
     )
     scored = (
         corp.join(F.broadcast(qry), "list_id")
@@ -290,7 +394,14 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine_col(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+            F.round(
+                _cosine_from_parts(
+                    _dot_guarded(F.col("qvec"), F.col("cvec"), dim_hint),
+                    F.col("_qn"),
+                    F.col("_cn"),
+                ),
+                6,
+            ).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -93,7 +93,12 @@ def with_lang_id(
     )
 
 
-def quality_score_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score_cols(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-doc quality features + composite score — the web-pipeline analog of
     heuristic quality filters (length, punctuation density, stopword ratio,
     mean token length). Pure double arithmetic, bit-identical in any ANSI
@@ -102,17 +107,27 @@ def quality_score_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc
     Tokenizes once: the split / stopword-filter / punct-strip land in a
     staged projection whose results the scoring expressions reference as
     plain attributes (CollapseProject keeps the boundary for non-cheap
-    multiply-referenced expressions)."""
+    multiply-referenced expressions).
+
+    keep: extra input columns threaded through to the output unchanged —
+    lets callers compose per-row pipelines (e.g. the curation funnel) in one
+    projection chain instead of re-scanning and self-joining on id."""
     c = F.col(text_col)
+    kept = [F.col(k) for k in keep]
     staged = df.select(
         F.col(id_col),
+        *kept,
         F.length(c).alias("_n_chars"),
         tokens_simple(c).alias("_toks"),
-        (F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9_ ]", ""))).alias(
-            "_punct"
-        ),
+        # punct count = chars remaining after removing word-char RUNS — same
+        # value as length(c) - length(remove-punct) for every input, but the
+        # positive class matches once per run instead of forcing Java regex
+        # to restart a find() at every position of a rarely-matching negated
+        # class (measured 3.1s -> 0.25s over 50k docs x 32 cores, r6)
+        F.length(F.regexp_replace(c, r"[a-zA-Z0-9_ ]+", "")).alias("_punct"),
     ).select(
         F.col(id_col),
+        *kept,
         "_n_chars",
         "_punct",
         F.size(F.col("_toks")).alias("_n_tokens"),
@@ -133,6 +148,7 @@ def quality_score_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
     return staged.select(
         F.col(id_col),
+        *kept,
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
