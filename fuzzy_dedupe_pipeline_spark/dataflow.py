@@ -317,9 +317,19 @@ def simhash_near_dup_pairs(
     b = banded.select(
         "chunk_id", "chunk_val", F.col("id").alias("id2"), F.col("simhash").alias("s2")
     )
+    # hamming filter BEFORE dropDuplicates (r6): the banded self-join emits
+    # O(bucket^2) candidate rows (87M at 50k docs with 7-bit chunks) and the
+    # distinct used to shuffle ALL of them; the xor/bit_count predicate is
+    # cheap codegen'd per-row work, and s1/s2 are functions of id1/id2, so
+    # filtering first then deduplicating keeps the identical pair set while
+    # the distinct shuffle carries only true near-dup pairs (guide §2.3:
+    # aggregate/filter before you shuffle).
     return (
         a.join(b, ["chunk_id", "chunk_val"])
-        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))) <= max_hamming)
+        )
         .select("id1", "id2", "s1", "s2")
         .dropDuplicates(["id1", "id2"])
         .select(
@@ -330,5 +340,4 @@ def simhash_near_dup_pairs(
                 "simhash_sim"
             ),
         )
-        .filter(F.col("hamming") <= max_hamming)
     )

@@ -47,10 +47,19 @@ plans (map-only HOF vs relational) must agree value-exactly.
 
 from __future__ import annotations
 
+import re
+from collections import Counter
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Java \s (default, non-UNICODE_CHARACTER_CLASS) = [ \t\n\x0B\f\r]; spelled
+# explicitly so the Python mirror of tokens_sql matches Java regex split for
+# EVERY input, not just the ASCII corpus.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
 def ngrams_sql(toks: str, n: int) -> str:
@@ -156,30 +165,153 @@ def _frac(num: Column, den: Column) -> Column:
     )
 
 
+def _family_stats(values: list[str]) -> tuple[int, int, int, int, int, int, int]:
+    """(n, u, total_chars, dup_beyond_chars, dup_all_chars, top_cnt,
+    top_chars) of a unit multiset — the exact quantities run_stats_sql's
+    sorted fold computes (top ties broken toward larger char mass)."""
+    n = len(values)
+    if n == 0:
+        return (0, 0, 0, 0, 0, 0, 0)
+    cnt = Counter(values)
+    tot = dupb = dupa = top_cnt = top_chars = 0
+    for v, c in cnt.items():
+        m = c * len(v)
+        tot += m
+        if c > 1:
+            dupb += m - len(v)
+            dupa += m
+        if c > top_cnt:
+            top_cnt, top_chars = c, m
+        elif c == top_cnt and m > top_chars:
+            top_chars = m
+    return (n, len(cnt), tot, dupb, dupa, top_cnt, top_chars)
+
+
+def _make_gopher_udf(grams_ns: tuple[int, ...]):
+    """Arrow pandas UDF: text -> flat struct of every integer family stat
+    (lines, paragraphs, one entry per gram order). Python mirrors the exact
+    JVM semantics the SQL-HOF path uses: units split on literal newline runs
+    then Spark-`trim` (ASCII space ONLY — verified empirically; NOT
+    str.strip, which eats all whitespace), tokens split on Java \\s
+    ([ \\t\\n\\x0B\\f\\r]+), grams joined by single spaces, char length =
+    code points (Python len == Spark length for every valid string)."""
+    fields = []
+    for fam in ("ln", "pr"):
+        fields += [
+            T.StructField(f"{fam}_{p}", T.LongType(), False)
+            for p in ("n", "u", "tot", "dupb")
+        ]
+    for n in grams_ns:
+        fields += [
+            T.StructField(f"g{n}_dupa", T.LongType(), False),
+            T.StructField(f"g{n}_topc", T.LongType(), False),
+        ]
+    ret = T.StructType(fields)
+
+    @F.pandas_udf(ret)
+    def gopher_stats(texts: pd.Series) -> pd.DataFrame:
+        out: dict[str, list[int]] = {f.name: [] for f in ret.fields}
+        for text in texts:
+            text = text or ""
+            for fam, seps in (("ln", "\n"), ("pr", "\n\n")):
+                units = [
+                    u for u in (p.strip(" ") for p in text.split(seps)) if u
+                ]
+                n, u, tot, dupb, _dupa, _tc, _tch = _family_stats(units)
+                out[f"{fam}_n"].append(n)
+                out[f"{fam}_u"].append(u)
+                out[f"{fam}_tot"].append(tot)
+                out[f"{fam}_dupb"].append(dupb)
+            toks = [t for t in _JAVA_WS.split(text) if t]
+            for n in grams_ns:
+                grams = (
+                    [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                    if len(toks) >= n
+                    else []
+                )
+                _n, _u, _tot, _dupb, dupa, _tc, topc = _family_stats(grams)
+                out[f"g{n}_dupa"].append(dupa)
+                out[f"g{n}_topc"].append(topc)
+        return pd.DataFrame(out)
+
+    return gopher_stats
+
+
 def gopher_repetition(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     top_ns: Sequence[int] = (2, 3, 4),
     dup_ns: Sequence[int] = (5, 6, 7, 8, 9, 10),
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document Gopher repetition-rule signal table (see module doc for
     the exact character conventions). One map-only pass; the filtering
     decision a pipeline makes downstream is a plain range predicate over
-    these columns (Gopher's published cuts are in the module docstring)."""
-    tid, ttx = f"`{id_col}`", f"`{text_col}`"
-    staged = df.selectExpr(
-        tid,
-        f"CAST(length({ttx}) AS BIGINT) AS _doc_chars",
-        f"{run_stats_sql(units_sql(ttx, 1))} AS _ln",
-        f"{run_stats_sql(units_sql(ttx, 2))} AS _pr",
-        f"{tokens_sql(ttx)} AS _toks",
-    )
-    gram_exprs = [
-        f"{run_stats_sql(ngrams_sql('_toks', n))} AS _g{n}"
-        for n in sorted(set(top_ns) | set(dup_ns))
-    ]
-    staged = staged.selectExpr(tid, "_doc_chars", "_ln", "_pr", *gram_exprs)
+    these columns (Gopher's published cuts are in the module docstring).
+
+    impl='arrow' (default, r6): the 9 sort+fold families ran as INTERPRETED
+    HigherOrderFunction trees — Catalyst allocates a 9-field struct and
+    evaluates ~15 CASE branches per array element per family, which measured
+    8.0s over 50k docs x 32 cores at sf1.0. The Arrow path computes the
+    identical integer family stats per document in one pandas UDF (dict
+    counting at C speed) and keeps the final fraction arithmetic in the SAME
+    JVM expressions, so every output cell is value-identical
+    (tests/test_repetition.py asserts arrow == sql on adversarial texts).
+    impl='sql' keeps the pure-JVM map-only form (the 100 TB argument is
+    unchanged: both are map-only, zero shuffle)."""
+    if impl == "arrow":
+        grams_ns = tuple(sorted(set(top_ns) | set(dup_ns)))
+        udf = _make_gopher_udf(grams_ns)
+        # NULL text -> NULL struct, matching the SQL-HOF path where every
+        # family fold is NULL for NULL input (the UDF itself still sees the
+        # row — Catalyst extracts Python UDFs below the CASE — but its
+        # result is discarded for NULL rows)
+        staged = df.select(
+            F.col(id_col),
+            F.length(F.col(text_col)).cast("long").alias("_doc_chars"),
+            F.when(
+                F.col(text_col).isNotNull(), udf(F.col(text_col))
+            ).alias("_st"),
+        )
+        ln = F.col("_st")
+        staged = staged.select(
+            F.col(id_col),
+            "_doc_chars",
+            F.struct(
+                ln["ln_n"].alias("n"),
+                ln["ln_u"].alias("u"),
+                ln["ln_tot"].alias("total_chars"),
+                ln["ln_dupb"].alias("dup_beyond_chars"),
+            ).alias("_ln"),
+            F.struct(
+                ln["pr_n"].alias("n"),
+                ln["pr_u"].alias("u"),
+                ln["pr_tot"].alias("total_chars"),
+                ln["pr_dupb"].alias("dup_beyond_chars"),
+            ).alias("_pr"),
+            *[
+                F.struct(
+                    ln[f"g{n}_dupa"].alias("dup_all_chars"),
+                    ln[f"g{n}_topc"].alias("top_chars"),
+                ).alias(f"_g{n}")
+                for n in grams_ns
+            ],
+        )
+    else:
+        tid, ttx = f"`{id_col}`", f"`{text_col}`"
+        staged = df.selectExpr(
+            tid,
+            f"CAST(length({ttx}) AS BIGINT) AS _doc_chars",
+            f"{run_stats_sql(units_sql(ttx, 1))} AS _ln",
+            f"{run_stats_sql(units_sql(ttx, 2))} AS _pr",
+            f"{tokens_sql(ttx)} AS _toks",
+        )
+        gram_exprs = [
+            f"{run_stats_sql(ngrams_sql('_toks', n))} AS _g{n}"
+            for n in sorted(set(top_ns) | set(dup_ns))
+        ]
+        staged = staged.selectExpr(tid, "_doc_chars", "_ln", "_pr", *gram_exprs)
     ln, pr = F.col("_ln"), F.col("_pr")
     out = [
         F.col(id_col),

@@ -141,3 +141,28 @@ def test_map_only_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan  # zero-shuffle: per-row fold only
+
+
+def test_arrow_matches_sql_hof(spark):
+    """r6 focused test: the Arrow fast path (default) and the pure-JVM
+    SQL-HOF path must produce identical rows — including NULL text (NULL
+    struct semantics), exotic whitespace (Java \\s class vs str.strip), and
+    tie-broken top grams."""
+    from fuzzy_dedupe_pipeline_spark.repetition import gopher_repetition
+
+    docs = (
+        _handcrafted()
+        + _random_docs(30, seed=13)
+        + [
+            (900, None),
+            (901, "\ta b\tc\n \x0b x \r\f y"),  # Java \s chars + trim edges
+            (902, " lead \n\n\n trail \n"),     # \n\n\n -> ragged para split
+            (903, "aa bb aa bb cc " * 3),
+        ]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {r["doc_id"]: r.asDict() for r in gopher_repetition(df, impl="arrow").collect()}
+    s = {r["doc_id"]: r.asDict() for r in gopher_repetition(df, impl="sql").collect()}
+    assert a.keys() == s.keys()
+    for k in a:
+        assert a[k] == s[k], (k, a[k], s[k])
