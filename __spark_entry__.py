@@ -26,6 +26,7 @@ from fuzzy_dedupe_pipeline_spark.dataflow import (
     simhash_near_dup_pairs,
 )
 from fuzzy_dedupe_pipeline_spark.similarity import (
+    blocked_pairs_arrow,
     brute_force_topk,
     cosine_dup_pairs,
     ivf_topk,
@@ -751,7 +752,12 @@ def _q_cosine_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin). At 100 TB the block column is an LSH bucket /
     IVF list / cluster id; here the table's label column plays that role."""
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    return cosine_dup_pairs(emb, threshold=0.35, round_dp=4, block_col="label")
+    # Arrow scorer: numerically bit-identical pairs (see blocked_pairs_arrow;
+    # sub-bucket salted because the label key has ~10 values vs 32 cores)
+    salt = max(1, spark.sparkContext.defaultParallelism // 4)
+    return blocked_pairs_arrow(
+        emb, threshold=0.35, block_col="label", round_dp=4, salt=salt
+    )
 
 
 def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,7 +827,13 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_dedupe_pipeline_spark.cc import connected_components
 
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    pairs = cosine_dup_pairs(emb, threshold=0.35, round_dp=4, block_col="label")
+    # the label block key has ~10 distinct values at any SF — far fewer than
+    # the session's cores — so the pair join is salted to parallelism/4
+    # sub-buckets per block (see cosine_dup_pairs: output identical)
+    salt = max(1, spark.sparkContext.defaultParallelism // 4)
+    pairs = blocked_pairs_arrow(
+        emb, threshold=0.35, block_col="label", round_dp=4, salt=salt
+    )
     comp = connected_components(pairs.select("id1", "id2"))
     return (
         emb.select("vec_id")

@@ -94,6 +94,38 @@ def connected_components(
     ).union(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
     sym = _ckpt(sym.dropDuplicates(["src", "dst"]))
 
+    # Scale-adaptive shuffle width for the fixpoint rounds (guide §2): each
+    # round is 3-4 shuffles over the label table, and the edge set after
+    # exact-dedup + banding is typically TINY relative to the corpus (tens
+    # of kB..MB). At the session default (= core count) every round pays
+    # scheduling/barrier cost for dozens of near-empty tasks — measured
+    # 0.55 s/round for 42k edges at 32 partitions, pure overhead. Width is
+    # derived from the MATERIALIZED edge count (sym is already
+    # checkpointed, so the count is a cheap scan), one partition per ~100k
+    # edges, capped at the session default so a web-scale edge set keeps
+    # full parallelism. Pinned via the session conf around the loop — CC
+    # runs serially in every caller (dedupe_clusters runs it after its
+    # thread-pooled builds complete; streaming per micro-batch), and the
+    # conf is restored in a finally.
+    spark_conf = spark.conf
+    n_edges = sym.count()
+    default_p = spark.sparkContext.defaultParallelism
+    p = max(1, min(default_p, (n_edges // 100_000) + 1))
+    old_p = spark_conf.get("spark.sql.shuffle.partitions")
+    spark_conf.set("spark.sql.shuffle.partitions", str(p))
+    # (A/B'd r6: AQE stays ON here — its per-query-stage jobs looked like
+    # overhead in the profile, but disabling it measured 7.0s vs 3.8s for
+    # the 42k-edge fixpoint: the independent stage jobs pipeline better
+    # than one monolithic job per checkpoint.)
+    try:
+        return _cc_loop(
+            spark, sym, max_iters, _ckpt, _ckpt_file, fs_delete
+        )
+    finally:
+        spark_conf.set("spark.sql.shuffle.partitions", old_p)
+
+
+def _cc_loop(spark, sym, max_iters, _ckpt, _ckpt_file, fs_delete):
     labels = _ckpt(
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -102,30 +134,41 @@ def connected_components(
     prev_label_file = _ckpt_file(labels)
 
     for _ in range(max_iters):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .select(F.col("src").alias("id"), "cluster_id")
-            .union(labels.select("id", "cluster_id"))
-            .groupBy("id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-        )
-        # pointer jump: label <- label(label). Every label value is itself a
-        # node id with a labels row, and its label is <= (min-monotone), so
-        # this squares the pointer chain without changing the fixpoint.
-        parent = neighbor_min.select(
-            F.col("id").alias("p_id"), F.col("cluster_id").alias("p_label")
-        )
-        jumped = neighbor_min.join(
-            parent, neighbor_min.cluster_id == parent.p_id, "left"
-        ).select(
-            "id", F.coalesce("p_label", "cluster_id").alias("cluster_id")
-        )
+        # TWO propagate+jump steps per materialized round (r6): the wall
+        # cost of a round is dominated by driver-serial job latency (the
+        # checkpoint job + the convergence probe, ~0.3 s each on this host
+        # regardless of data size), not by the shuffles — so composing two
+        # steps into one checkpointed plan halves the job count for the
+        # same asymptotics. Convergence stays sound: labels are min-monotone
+        # (never increase), so "no change across the double step" implies
+        # neither inner step changed anything — the fixpoint test is exact.
+        cur = labels
+        for _step in range(2):
+            neighbor_min = (
+                sym.join(cur, sym.dst == cur.id)
+                .select(F.col("src").alias("id"), "cluster_id")
+                .union(cur.select("id", "cluster_id"))
+                .groupBy("id")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+            )
+            # pointer jump: label <- label(label). Every label value is
+            # itself a node id with a labels row, and its label is <=
+            # (min-monotone), so this squares the pointer chain without
+            # changing the fixpoint.
+            parent = neighbor_min.select(
+                F.col("id").alias("p_id"), F.col("cluster_id").alias("p_label")
+            )
+            cur = neighbor_min.join(
+                parent, neighbor_min.cluster_id == parent.p_id, "left"
+            ).select(
+                "id", F.coalesce("p_label", "cluster_id").alias("cluster_id")
+            )
         # fuse the convergence signal into the SAME checkpoint job (one extra
         # join against the already-checkpointed old labels) — a separate
         # count-join job per round doubled the driver-serial job count, the
         # dominant non-scaling cost in the flagship profile
         new_labels = _ckpt(
-            jumped.join(
+            cur.join(
                 labels.select("id", F.col("cluster_id").alias("old_label")),
                 "id",
             )

@@ -162,6 +162,7 @@ def cosine_dup_pairs(
     round_dp: int = 4,
     block_col: str | None = None,
     dim_hint: int = 64,
+    salt: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1, id2, cosine) with
     id1 < id2 and round(cosine, round_dp) >= threshold.
@@ -174,6 +175,17 @@ def cosine_dup_pairs(
     Per-pair work is the guarded unrolled dot (codegen; see _dot_guarded) and
     norms are precomputed per ROW before the join — O(n) norm computations
     instead of O(pairs), value-identical to the HOF form for every input.
+
+    salt > 1 sub-splits each block for parallelism (guide §2.5): when the
+    block column has FEWER distinct values than the cluster has cores (10
+    labels vs 32 cores here), the equi-join leaves most tasks empty. The
+    left side gets a deterministic sub-bucket xxhash64(id)%salt, the right
+    side is replicated once per sub-bucket, and the join keys on
+    (block, sub-bucket) — every within-block pair still appears exactly
+    once (at the left row's sub-bucket), so the output is identical. Use
+    only when blocks are few and large; a web-scale block key (LSH bucket /
+    IVF list) already outnumbers cores, where salt=1 avoids the x-salt
+    replication.
     """
     left_cols = [F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")]
     right_cols = [F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")]
@@ -189,6 +201,17 @@ def cosine_dup_pairs(
     cond = F.col("id1") < F.col("id2")
     if block_col is not None:
         cond = (F.col("b1") == F.col("b2")) & cond
+        if salt > 1:
+            a = a.withColumn(
+                "_sa", F.pmod(F.xxhash64(F.col("id1")), F.lit(salt))
+            )
+            b = b.withColumn(
+                "_sb",
+                F.explode(
+                    F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))
+                ),
+            )
+            cond = (F.col("_sa") == F.col("_sb")) & cond
     return (
         a.join(b, cond)
         .select(
@@ -205,6 +228,159 @@ def cosine_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _seq_dot(l64: np.ndarray, r64: np.ndarray) -> np.ndarray:
+    """Pairwise dot products with the EXACT IEEE association of the engine's
+    fold ((0.0 + p0) + p1) + ...: one vectorized accumulation step per
+    dimension, so every pair's sum is bit-identical to the JVM expression
+    (numpy += on float64 is the same correctly-rounded IEEE add; no BLAS
+    matmul, whose blocked summation would reassociate)."""
+    acc = np.zeros((l64.shape[0], r64.shape[0]))
+    for k in range(l64.shape[1]):
+        acc += l64[:, k, None] * r64[None, :, k]
+    return acc
+
+
+def _seq_sqnorm(m64: np.ndarray) -> np.ndarray:
+    acc = np.zeros(m64.shape[0])
+    for k in range(m64.shape[1]):
+        acc += m64[:, k] * m64[:, k]
+    return acc
+
+
+def blocked_pairs_arrow(
+    corpus: DataFrame,
+    threshold: float,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    salt: int = 8,
+) -> DataFrame:
+    """Arrow fast path of cosine_dup_pairs(block_col=...): numerically
+    BIT-IDENTICAL pairs (see _seq_dot) scored by numpy inside applyInPandas
+    instead of per-pair interpreted JVM expressions.
+
+    Why not expressions: the O(pairs) cosine dominates this operator, and
+    neither JVM form is fast — the HOF fold runs interpreted (~2 us/pair),
+    and a fully unrolled 64-term codegen expression exceeds the JIT's huge-
+    method limit, executing as raw bytecode (measured minutes). Handing each
+    (block, sub-bucket) group to numpy does the same flops vectorized
+    (guide §4.2). Grouping: every row enters its own sub-bucket
+    xxhash64(id)%salt once as a LEFT row and every sub-bucket of its block
+    as a RIGHT row, so the group (block, u) scores exactly the pairs whose
+    SMALLER-id member hashes to u — each unordered pair once, and salt
+    sub-splits the few-large-blocks case across the cluster (guide §2.5).
+
+    Exactness contract (mirrors the expression semantics for EVERY input):
+      * products/sums/norms/division accumulate in the identical IEEE order;
+      * pairs are scored per equal-length group (zip_with pads with NULL, so
+        mixed-length pairs have NULL dot -> cosine 0.0 -> never emitted;
+        zero-norm or NaN/null-element vectors likewise);
+      * the UDF emits RAW cosines above a conservative pre-threshold
+        (threshold - 0.5*10^-dp - 1e-9, which cannot exclude any pair whose
+        ROUNDED value reaches threshold); Spark's own round() then applies
+        the final threshold, so rounding semantics are exactly the engine's.
+    """
+    spark = corpus.sparkSession
+    import pandas as pd  # noqa: F811
+
+    pre = threshold - 0.5 * 10.0 ** (-round_dp) - 1e-9
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(block_col).alias("_b"),
+    )
+    left = base.withColumn(
+        "_u", F.pmod(F.xxhash64(F.col("_id")), F.lit(salt))
+    ).withColumn("_left", F.lit(True))
+    right = base.withColumn(
+        "_u",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))
+        ),
+    ).withColumn("_left", F.lit(False))
+    both = left.unionByName(right)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id1", T.LongType()),
+            T.StructField("id2", T.LongType()),
+            T.StructField("_raw", T.DoubleType()),
+        ]
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        is_left = pdf["_left"].to_numpy()
+        vecs = pdf["_v"].tolist()
+        lens = np.fromiter(
+            (len(v) if v is not None else -1 for v in vecs),
+            dtype=np.int64,
+            count=len(vecs),
+        )
+        lpos, rpos = np.flatnonzero(is_left), np.flatnonzero(~is_left)
+        if lpos.size == 0 or rpos.size == 0:
+            return pd.DataFrame({"id1": [], "id2": [], "_raw": []}).astype(
+                {"id1": "int64", "id2": "int64", "_raw": "float64"}
+            )
+        # full group matrix starts at 0.0 — the expression's value for every
+        # degenerate combination (null vector, mixed lengths, zero norm), so
+        # thresholds <= 0 emit exactly the same pair set; equal-length
+        # sub-blocks are scored and scattered in
+        inv_l = np.full(len(vecs), -1, dtype=np.int64)
+        inv_l[lpos] = np.arange(lpos.size)
+        inv_r = np.full(len(vecs), -1, dtype=np.int64)
+        inv_r[rpos] = np.arange(rpos.size)
+        cos_full = np.zeros((lpos.size, rpos.size))
+        # rows whose own norm is strictly positive (finite): pairs of such
+        # rows with UNEQUAL lengths are NULL in the expression form (partial
+        # zip product -> NULL dot with non-null norms) and must never be
+        # emitted; every other degenerate combo evaluates to 0.0 there
+        pos_norm = np.zeros(len(vecs), dtype=bool)
+        for L in np.unique(lens):
+            if L <= 0:
+                continue
+            sel = np.flatnonzero(lens == L)
+            m = np.vstack([vecs[i] for i in sel]).astype(np.float64)
+            n = np.sqrt(_seq_sqnorm(m))
+            pos_norm[sel] = n > 0
+        for L in np.unique(lens):
+            if L <= 0:
+                continue
+            sel = lens == L
+            li = np.flatnonzero(sel & is_left)
+            ri = np.flatnonzero(sel & ~is_left)
+            if li.size == 0 or ri.size == 0:
+                continue
+            lm = np.vstack([vecs[i] for i in li]).astype(np.float64)
+            rm = np.vstack([vecs[i] for i in ri]).astype(np.float64)
+            n1 = np.sqrt(_seq_sqnorm(lm))
+            n2 = np.sqrt(_seq_sqnorm(rm))
+            dot = _seq_dot(lm, rm)
+            denom = n1[:, None] * n2[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(
+                    (n1[:, None] > 0) & (n2[None, :] > 0), dot / denom, 0.0
+                )
+            cos_full[np.ix_(inv_l[li], inv_r[ri])] = cos
+        lid, rid = ids[lpos], ids[rpos]
+        excl = (
+            pos_norm[lpos][:, None]
+            & pos_norm[rpos][None, :]
+            & (lens[lpos][:, None] != lens[rpos][None, :])
+        )
+        mask = (lid[:, None] < rid[None, :]) & (cos_full >= pre) & ~excl
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {"id1": lid[ii], "id2": rid[jj], "_raw": cos_full[ii, jj]}
+        )
+
+    raw = both.groupBy("_b", "_u").applyInPandas(score, out_schema)
+    return raw.select(
+        "id1", "id2", F.round(F.col("_raw"), round_dp).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 def make_hyperplane_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):

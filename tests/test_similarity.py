@@ -116,3 +116,55 @@ def test_cosine_dup_pairs_blocked_path(spark):
     }
     got = {(r.id1, r.id2, r.cosine) for r in blocked.collect()}
     assert got == want and len(got) > 0
+
+
+def test_blocked_pairs_arrow_matches_expression(spark):
+    """r6 focused test: the Arrow blocked-pair scorer must match the
+    expression path EXACTLY (ids and rounded cosines) — including null
+    vectors, zero vectors, mixed lengths, and null elements."""
+    import numpy as np
+
+    from fuzzy_dedupe_pipeline_spark.similarity import (
+        blocked_pairs_arrow,
+        cosine_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        vec = [float(x) for x in rng.standard_normal(64).astype("float32")]
+        rows.append((i, vec, int(i % 3)))
+    rows += [
+        (1000, None, 0),                      # null vector
+        (1001, [0.0] * 64, 0),                # zero norm
+        (1002, [1.0] * 32, 1),                # short vector
+        (1003, [1.0] * 32, 1),                # equal-length partner
+        (1004, [1.0, None] + [1.0] * 62, 2),  # null element
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    for thr in (0.0, 0.1):
+        want = {
+            (r["id1"], r["id2"]): r["cosine"]
+            for r in cosine_dup_pairs(
+                df, threshold=thr, round_dp=4, block_col="label"
+            ).collect()
+        }
+        got = {
+            (r["id1"], r["id2"]): r["cosine"]
+            for r in blocked_pairs_arrow(
+                df, threshold=thr, block_col="label", round_dp=4, salt=4
+            ).collect()
+        }
+        assert got == want, (
+            len(got),
+            len(want),
+            dict(list((set(got.items()) ^ set(want.items())))[:5] if got != want else {}),
+        )
+    # short equal-length pair must appear via the fold semantics in BOTH
+    w = cosine_dup_pairs(df, threshold=0.9, round_dp=4, block_col="label")
+    g = blocked_pairs_arrow(df, threshold=0.9, block_col="label", salt=2)
+    wp = {(r["id1"], r["id2"]) for r in w.collect()}
+    gp = {(r["id1"], r["id2"]) for r in g.collect()}
+    assert (1002, 1003) in wp and wp == gp
