@@ -58,12 +58,16 @@ def eval_grams(
 
     The distinct is a shuffle over the EVAL side only (tiny by construction);
     cache/broadcast the result when probing several corpus shards."""
+    # explode_outer + null filter: plain explode infers size(grams)>0 and
+    # pushes the full 13-gram construction below the spread exchange onto
+    # the single-partition scan (see textstats.ngram_jaccard_pairs, r6)
     return (
         eval_docs.select(
-            F.explode(ngram_strings(tokens_simple(F.col(text_col)), n)).alias(
-                "gram"
-            )
+            F.explode_outer(
+                ngram_strings(tokens_simple(F.col(text_col)), n)
+            ).alias("gram")
         )
+        .filter(F.col("gram").isNotNull())
         .distinct()
     )
 
@@ -84,10 +88,10 @@ def contaminated_ids(
     the groupBy aggregates ONLY the hit rows."""
     probe = docs.select(
         F.col(id_col),
-        F.explode(ngram_strings(tokens_simple(F.col(text_col)), n)).alias(
-            "gram"
-        ),
-    )
+        F.explode_outer(
+            ngram_strings(tokens_simple(F.col(text_col)), n)
+        ).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
     if hash_grams:
         probe = probe.select(id_col, F.xxhash64("gram").alias("gram"))
         grams = grams.select(F.xxhash64("gram").alias("gram")).distinct()

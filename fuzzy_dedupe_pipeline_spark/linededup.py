@@ -71,7 +71,7 @@ def frequent_lines(
     """
     return (
         docs.select(
-            F.explode(F.array_distinct(lines_col(F.col(text_col), sep))).alias(
+            F.explode_outer(F.array_distinct(lines_col(F.col(text_col), sep))).alias(
                 "line"
             )
         )

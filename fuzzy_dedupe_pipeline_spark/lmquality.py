@@ -52,7 +52,12 @@ def unigram_logprobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Returns (tok, logp) with logp = round(ln((n_t + 1) / (N + V)), 6).
     """
-    toks = docs.select(F.explode(tokens_simple(F.col(text_col))).alias("tok"))
+    # explode_outer + null filter: avoids the inferred size(tokens)>0
+    # pushdown that re-runs the tokenize below the spread exchange on the
+    # single-partition scan (see textstats.ngram_jaccard_pairs, r6)
+    toks = docs.select(
+        F.explode_outer(tokens_simple(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     tot = cnt.agg(
         F.sum("n_tok").cast("long").alias("n_total"),
@@ -81,8 +86,9 @@ def cross_entropy_scores(
     range predicate downstream.
     """
     toks = docs.select(
-        F.col(id_col), F.explode(tokens_simple(F.col(text_col))).alias("tok")
-    )
+        F.col(id_col),
+        F.explode_outer(tokens_simple(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
     doc_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
     logp = unigram_logprobs(docs, text_col)
     per_doc = (

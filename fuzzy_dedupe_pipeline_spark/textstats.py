@@ -278,9 +278,15 @@ def top_ngrams(
     TakeOrderedAndProject — the per-partition top-k heap means no global
     sort materializes. Deterministic under ties: ordered by (count DESC,
     gram ASC)."""
+    # explode_outer + null filter: plain explode makes Catalyst infer
+    # `size(bigrams) > 0` and push the whole bigram construction below the
+    # caller's spread exchange onto the single-partition scan (the same trap
+    # measured at 62s in ngram_jaccard_pairs); row set is identical
     grams = df.select(
-        F.explode(token_bigrams(tokens_simple(F.col(text_col)))).alias("gram")
-    )
+        F.explode_outer(token_bigrams(tokens_simple(F.col(text_col)))).alias(
+            "gram"
+        )
+    ).filter(F.col("gram").isNotNull())
     return (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -312,26 +318,52 @@ def ngram_jaccard_pairs(
 
     Returns (pairs(id1, id2, jaccard), dropped(gram + block_cols, bucket_size)).
     """
+    # r6 shuffle-count rewrite (guide §2.4): the distinct gram set per doc is
+    # built as an ARRAY in the scan projection — tokenize once into a bound
+    # attribute, then transform(sequence)/slice/concat_ws over it (the
+    # earlier posexplode + lead-window formulation existed to avoid
+    # re-tokenizing per element inside a HOF lambda; slicing a MATERIALIZED
+    # token array has no such trap). array_distinct replaces the corpus-wide
+    # dropDuplicates shuffle, the doc_id gram-count groupBy becomes a
+    # map-side size(), and n_grams rides the exploded rows so the two
+    # count-joins disappear: 3 shuffles total (gram-frequency agg, gram
+    # self-join, pair agg) instead of 7. Output is identical: same gram
+    # strings (full windows, single-space joins), same distinct sets, same
+    # denominators and cap semantics.
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    # posexplode + lead window (NOT transform+slice: expressions inside a
-    # higher-order-function lambda re-evaluate per element -> O(n^2) regex)
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"), *block_cols, F.posexplode(toks).alias("pos", "tok")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), *block_cols, toks.alias("_toks")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    g = (
-        tok.select(
-            "doc_id",
-            *block_cols,
-            F.lead("tok", n - 1).over(w).alias("_last"),
-            F.concat_ws(" ", *parts).alias("gram"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-        .dropDuplicates(["doc_id", "gram"])
+    sz = F.size(F.col("_toks"))
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select(
+        "doc_id", *block_cols, F.array_distinct(grams).alias("_gd")
     )
-    counts = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # explode_OUTER + null filter, NOT plain explode: for a non-outer
+    # generate Catalyst infers `size(_gd) > 0` and pushes it through the
+    # exchange to the SCAN — re-evaluating the whole tokenize+gram
+    # construction per row on the unspread (single-partition) scan side,
+    # which measured 62s vs 6s at sf1.0. explode_outer infers nothing; the
+    # explicit isNotNull restores the identical row set (empty-gram docs
+    # contribute no gram rows either way).
+    g = staged.select(
+        "doc_id",
+        *block_cols,
+        F.size(F.col("_gd")).alias("n_grams"),
+        F.explode_outer(F.col("_gd")).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    # ONE exchange on the join key, shared by all three consumers (the
+    # gram-frequency aggregate and both sides of the self-join) via
+    # ReusedExchange — without it each consumer re-runs the tokenize/gram
+    # lineage from the scan. It also pre-partitions the self-join and the
+    # frequency groupBy, so neither adds an exchange of its own.
+    g = g.repartition("gram", *block_cols)
     sizes = g.groupBy("gram", *block_cols).agg(
         F.count("*").alias("bucket_size")
     )
@@ -351,19 +383,16 @@ def ngram_jaccard_pairs(
             [F.col("a.gram") == F.col("b.gram"), *block_eq,
              F.col("a.doc_id") < F.col("b.doc_id")],
         )
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .groupBy(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.n_grams").alias("n1"),
+            F.col("b.n_grams").alias("n2"),
+        )
         .agg(F.count("*").cast("long").alias("shared"))
     )
     pairs = (
-        shared.join(
-            counts.select(F.col("doc_id").alias("id1"), F.col("n_grams").alias("n1")),
-            "id1",
-        )
-        .join(
-            counts.select(F.col("doc_id").alias("id2"), F.col("n_grams").alias("n2")),
-            "id2",
-        )
-        .select(
+        shared.select(
             "id1",
             "id2",
             F.round(

@@ -191,7 +191,8 @@ def with_blocklist_flag(
             blocked.select(F.lower(F.col("domain")).alias("suffix")).distinct()
         )
         hits = (
-            d.select(id_col, F.explode(sufs).alias("suffix"))
+            d.select(id_col, F.explode_outer(sufs).alias("suffix"))
+            .filter(F.col("suffix").isNotNull())
             .join(bl, "suffix", "left_semi")
             .select(id_col)
             .distinct()
