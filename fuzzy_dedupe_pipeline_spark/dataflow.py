@@ -27,6 +27,7 @@ from fuzzy_dedupe_pipeline_spark.minhash import (
     simhash_similarity_col,
     with_signatures,
     with_simhash,
+    with_verify_sigs,
 )
 from fuzzy_dedupe_pipeline_spark.normalize import normalize_text_col, tokens_raw_col
 from fuzzy_dedupe_pipeline_spark.substring import substring_candidates
@@ -136,7 +137,10 @@ def dedupe_edges(
     # second signature pass over candidate endpoints only — the prefilter
     # semi-join now happens BEFORE the UDF, so verify_pairs' own prefilter
     # is redundant (the slice is already minimal). Persisted because the
-    # verify scoring join reads it twice (a/b sides).
+    # verify scoring join reads it twice (a/b sides). r6: the pass computes
+    # ONLY (shingles, simhash) — verify_pairs never reads the 128 MinHash
+    # lanes, so the lane loop (the UDF's dominant compute) is skipped
+    # (with_verify_sigs; identical shingle sets and fingerprints).
     end_ids = (
         lsh_pairs.select(F.col("id1").alias("id"))
         .union(lsh_pairs.select(F.col("id2").alias("id")))
@@ -144,7 +148,7 @@ def dedupe_edges(
         .union(sub_pairs.select(F.col("id2").alias("id")))
         .distinct()
     )
-    sigs_verify = with_signatures(
+    sigs_verify = with_verify_sigs(
         clean_reps.join(end_ids, "id", "left_semi").select(
             F.col("id").alias("url"), "text_norm"
         ),

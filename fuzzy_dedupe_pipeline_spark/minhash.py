@@ -299,6 +299,95 @@ def make_simhash_udf(cfg: DedupeConfig):
     return simhash_sig
 
 
+def make_verify_udf(cfg: DedupeConfig):
+    """Arrow UDF: token-hash array -> (shingles array<long>, simhash long).
+
+    The verify-slice projection of make_signature_udf (r6): verify_pairs
+    reads ONLY the shingle sets (Jaccard/containment) and the simhash
+    fingerprint — the 128 MinHash lanes the full UDF computes were thrown
+    away on the second (candidate-endpoint) signature pass. Shingles and
+    simhash come from the identical batch_shingle_sets + bit-vote code, so
+    the verify scores are unchanged; the lane loop — the UDF's dominant
+    compute — is simply skipped.
+    """
+    k = cfg.shingle_k
+    ret = T.StructType(
+        [
+            T.StructField("shingles", T.ArrayType(T.LongType()), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    @F.pandas_udf(ret)
+    def verify_sig(token_hashes: pd.Series) -> pd.DataFrame:
+        rows = list(token_hashes)
+        n_rows = len(rows)
+        shingle_rows = batch_shingle_sets(rows, k)
+        lens = np.fromiter(
+            (len(s) for s in shingle_rows), dtype=np.int64, count=n_rows
+        )
+        packed = np.zeros(n_rows, dtype=_U64)
+        total = int(lens.sum())
+        if total:
+            flat = np.concatenate(shingle_rows).view(_U64)
+            offsets = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            cum = np.cumsum(lens)
+            CHUNK = 1 << 15
+            with np.errstate(over="ignore"):
+                r0 = 0
+                while r0 < n_rows:
+                    base = cum[r0 - 1] if r0 else 0
+                    r1 = int(np.searchsorted(cum, base + CHUNK, side="left")) + 1
+                    r1 = min(max(r1, r0 + 1), n_rows)
+                    lens_c = lens[r0:r1]
+                    ne_c = lens_c > 0
+                    if not ne_c.any():
+                        r0 = r1
+                        continue
+                    fchunk = flat[base : base + int(lens_c.sum())]
+                    rel_off = (offsets[r0:r1] - base)[ne_c]
+                    ne_lens = lens_c[ne_c].view(_U64)
+                    packed_ne = np.zeros(rel_off.size, dtype=_U64)
+                    for b in range(64):
+                        ones = np.add.reduceat(
+                            (fchunk >> _U64(b)) & _U64(1), rel_off
+                        )
+                        packed_ne |= (ones * _U64(2) > ne_lens).astype(_U64) << _U64(b)
+                    packed[np.arange(r0, r1)[ne_c]] = packed_ne
+                    r0 = r1
+        return pd.DataFrame(
+            {"shingles": shingle_rows, "simhash": packed.view(np.int64)}
+        )
+
+    return verify_sig
+
+
+def with_verify_sigs(
+    pages: DataFrame,
+    cfg: DedupeConfig,
+    id_col: str = "url",
+    text_col: str = "text_norm",
+) -> DataFrame:
+    """id, shingles, simhash — exactly the columns verify_pairs consumes
+    (see make_verify_udf). Input text must be pre-normalized."""
+    sig_udf = make_verify_udf(cfg)
+    return (
+        pages.select(
+            F.col(id_col).alias("id"),
+            token_hashes_col(tokens_raw_col(F.col(text_col))).alias(
+                "token_hashes"
+            ),
+        )
+        .withColumn("sig", sig_udf(F.col("token_hashes")))
+        .select(
+            "id",
+            F.col("sig.shingles").alias("shingles"),
+            F.col("sig.simhash").alias("simhash"),
+        )
+    )
+
+
 def with_simhash(
     pages: DataFrame,
     cfg: DedupeConfig,

@@ -62,6 +62,9 @@ def test_spread_queries_parallelize_scan_side(spark):
     assert "RoundRobinPartitioning" in plan
     scan_pos = plan.index("FileScan")
     rr_pos = plan.index("RoundRobinPartitioning")
-    agg_pos = plan.index("aggregate(")  # the run_stats HOF fold
+    # the per-row work is the Arrow gopher-stats UDF since r6 (the SQL-HOF
+    # path's marker was "aggregate("); same invariant — eval node above the
+    # exchange, exchange above the scan
+    work_pos = plan.index("ArrowEvalPython")
     # plan prints top-down: work above the exchange, exchange above the scan
-    assert agg_pos < rr_pos < scan_pos
+    assert work_pos < rr_pos < scan_pos
