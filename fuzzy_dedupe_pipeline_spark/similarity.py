@@ -249,6 +249,11 @@ def _seq_sqnorm(m64: np.ndarray) -> np.ndarray:
     return acc
 
 
+# left-tile size for blocked_pairs_arrow's pair matrices (module level so
+# tests can shrink it to exercise the tiled path)
+_PAIR_TILE = 512
+
+
 def blocked_pairs_arrow(
     corpus: DataFrame,
     threshold: float,
@@ -377,7 +382,29 @@ def blocked_pairs_arrow(
             {"id1": lid[ii], "id2": rid[jj], "_raw": cos_full[ii, jj]}
         )
 
-    raw = both.groupBy("_b", "_u").applyInPandas(score, out_schema)
+    def score_tiled(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Bound the per-task pair matrix (guide §5): score() materializes an
+        # O(lefts x rights) float64 matrix; at a larger SF a block grows
+        # linearly on BOTH axes, so the full matrix is quadratic in corpus
+        # size (e.g. 2.5k x 20k doubles = 400 MB at 10x this corpus, times
+        # 32 concurrent tasks). Tiling the LEFT rows caps peak memory at
+        # ~tile x rights doubles per task; results are per-pair, so the
+        # concatenated output is identical.
+        is_left = pdf["_left"].to_numpy()
+        lrows = np.flatnonzero(is_left)
+        rmask = ~is_left
+        TILE = _PAIR_TILE
+        if lrows.size <= TILE:
+            return score(pdf)
+        parts = []
+        for s in range(0, lrows.size, TILE):
+            sel = np.zeros(len(pdf), dtype=bool)
+            sel[lrows[s : s + TILE]] = True
+            sel |= rmask
+            parts.append(score(pdf.iloc[np.flatnonzero(sel)]))
+        return pd.concat(parts, ignore_index=True)
+
+    raw = both.groupBy("_b", "_u").applyInPandas(score_tiled, out_schema)
     return raw.select(
         "id1", "id2", F.round(F.col("_raw"), round_dp).alias("cosine")
     ).filter(F.col("cosine") >= threshold)

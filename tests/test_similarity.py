@@ -168,3 +168,34 @@ def test_blocked_pairs_arrow_matches_expression(spark):
     wp = {(r["id1"], r["id2"]) for r in w.collect()}
     gp = {(r["id1"], r["id2"]) for r in g.collect()}
     assert (1002, 1003) in wp and wp == gp
+
+
+def test_blocked_pairs_arrow_tiling(spark, monkeypatch):
+    """The left-row tiling (memory bound for large blocks) must not change
+    the pair set or scores."""
+    import numpy as np
+
+    import fuzzy_dedupe_pipeline_spark.similarity as sim
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16).astype("float32")], 0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    want = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in sim.blocked_pairs_arrow(
+            df, threshold=0.2, block_col="label", salt=1
+        ).collect()
+    }
+    monkeypatch.setattr(sim, "_PAIR_TILE", 16)
+    got = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in sim.blocked_pairs_arrow(
+            df, threshold=0.2, block_col="label", salt=1
+        ).collect()
+    }
+    assert want and got == want
