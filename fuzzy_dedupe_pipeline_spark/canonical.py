@@ -68,10 +68,14 @@ def cluster_output(
     pages: DataFrame,    # (id, text_final) OR (id, text_len) for completeness ordering
 ) -> DataFrame:
     """clusters(url, cluster_id, confidence_score, duplicate_count,
-    is_representative) — FIXTURES.md F5 shape."""
-    sizes = members.groupBy("cluster_id").agg(
-        F.count("*").cast("int").alias("duplicate_count")
-    )
+    is_representative) — FIXTURES.md F5 shape.
+
+    duplicate_count is a full-frame window count over the SAME cluster_id
+    partitioning the representative pick already shuffles on (r6) — the
+    former groupBy(cluster_id)+join shape paid an extra aggregate exchange
+    and a join for a value the window partition holds for free (guide §2.4:
+    window keyed like the preceding operation needs no second shuffle).
+    Identical values: count over the whole partition = component size."""
     # max incident-edge confidence per member (processor.py:249-252)
     incident = edges.select(
         F.col("id1").alias("id"), F.col("confidence")
@@ -86,13 +90,11 @@ def cluster_output(
         else pages.select("id", F.length("text_final").alias("text_len"))
     )
     enriched = (
-        members.join(sizes, "cluster_id")
-        .join(member_conf, "id", "left")
+        members.join(member_conf, "id", "left")
         .join(lens, "id", "left")
         .select(
             "id",
             "cluster_id",
-            "duplicate_count",
             F.coalesce("edge_conf", F.lit(1.0)).alias("confidence_score"),
             F.coalesce("text_len", F.lit(0)).alias("text_len"),
         )
@@ -100,10 +102,11 @@ def cluster_output(
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("text_len"), F.asc("id")  # completeness desc, id as total-order tiebreak
     )
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return enriched.select(
         F.col("id").alias("url"),
         "cluster_id",
         "confidence_score",
-        "duplicate_count",
+        F.count("*").over(full).cast("int").alias("duplicate_count"),
         (F.row_number().over(w) == 1).alias("is_representative"),
     )
