@@ -256,8 +256,13 @@ def _messy_url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 5 == 3, F.lit(""))
         .otherwise(F.lit("?a=1&b=2#frag"))
     )
+    # _spread's size gate reads the plan estimate, which scales with the
+    # PROJECTED width — gating on the unprojected table (file size) and
+    # selecting after keeps the gate aligned with the corpus scale while
+    # column pruning still drops everything but doc_id below the exchange
     return (
-        _spread(_t(spark, sf_dir, "documents").select("doc_id"), min_mb=2.0)
+        _spread(_t(spark, sf_dir, "documents"), min_mb=2.0)
+        .select("doc_id")
         .select("doc_id", F.concat(scheme, host, path, qs).alias("url"))
     )
 
