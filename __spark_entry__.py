@@ -28,6 +28,7 @@ from fuzzy_dedupe_pipeline_spark.dataflow import (
 from fuzzy_dedupe_pipeline_spark.similarity import (
     blocked_pairs_arrow,
     brute_force_topk,
+    brute_force_topk_arrow,
     cosine_dup_pairs,
     ivf_topk,
     lsh_ann_topk,
@@ -737,8 +738,11 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     # 4dp: coarse enough that a <=2-ulp engine difference in the double dot
-    # product can't flip the rounded value or the (cosine, id) rank order
-    return brute_force_topk(emb, queries, k=5, round_dp=4)
+    # product can't flip the rounded value or the (cosine, id) rank order.
+    # Arrow scorer (r6): bit-exact numpy pair scoring + rounding-safe
+    # preselection; final round/rank in Spark (see brute_force_topk_arrow,
+    # equivalence-tested against the expression form).
+    return brute_force_topk_arrow(emb, queries, k=5, round_dp=4)
 
 
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -254,6 +254,184 @@ def _seq_sqnorm(m64: np.ndarray) -> np.ndarray:
 _PAIR_TILE = 512
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Arrow fast path of brute_force_topk: identical output, numpy scoring.
+
+    The expression form evaluates an interpreted per-pair cosine over the
+    full corpus x queries product. Here the (broadcast-small) query set is
+    collected once to the driver — the same O(small-side) collect the IVF
+    centroid fit uses — and closed over by a mapInPandas scorer that
+    computes each batch's cosines with the bit-exact sequential-dimension
+    accumulation (_seq_dot), then PRESELECTS per query the rows that could
+    possibly reach the global rounded top-k:
+
+      * a row is dropped only when >= k rows in its own batch tile have raw
+        cosine greater by more than 2*10^-dp — rounding (monotone, error
+        <= 0.5*10^-dp) then puts it STRICTLY below k rows, so no id
+        tie-break can rescue it;
+      * NULL-cosine pairs (mixed lengths with positive norms — the
+        expression form's NULL) are kept (smallest neighbor ids, up to k)
+        only when a tile has fewer than k non-NULL rows: desc ordering is
+        NULLS LAST, and any tile with k non-NULL rows globally outranks
+        every NULL;
+      * degenerate pairs (null vector, zero/NaN norm) carry value 0.0
+        exactly as the expression form does.
+
+    The final round(raw, dp) + row_number window + rank filter run in Spark
+    expressions on the tiny preselected set, so rounding and ordering
+    semantics are exactly the engine's.
+    """
+    import pandas as pd  # noqa: F811
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qvecs = [r["qv"] for r in qrows]
+    qlens = np.fromiter(
+        (len(v) if v is not None else -1 for v in qvecs),
+        dtype=np.int64,
+        count=len(qvecs),
+    )
+    # per-length query matrices + norms, prebuilt once
+    qgroups = {}
+    q_posnorm = np.zeros(len(qvecs), dtype=bool)
+    for L in np.unique(qlens):
+        if L <= 0:
+            continue
+        sel = np.flatnonzero(qlens == L)
+        qm = np.vstack([qvecs[i] for i in sel]).astype(np.float64)
+        qn = np.sqrt(_seq_sqnorm(qm))
+        q_posnorm[sel] = qn > 0
+        qgroups[int(L)] = (sel, qm, qn)
+    n_q = len(qvecs)
+    margin = 2.0 * 10.0 ** (-round_dp)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("_raw", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].tolist()
+            for s in range(0, len(ids), _PAIR_TILE):
+                tids = ids[s : s + _PAIR_TILE]
+                tvecs = vecs[s : s + _PAIR_TILE]
+                lens = np.fromiter(
+                    (len(v) if v is not None else -1 for v in tvecs),
+                    dtype=np.int64,
+                    count=len(tvecs),
+                )
+                cos = np.zeros((len(tids), n_q))
+                c_posnorm = np.zeros(len(tids), dtype=bool)
+                for L in np.unique(lens):
+                    if L <= 0 or int(L) not in qgroups:
+                        # corpus rows of a length no query has: NULL vs
+                        # every positive-norm query, 0.0 vs the rest —
+                        # norms still needed for the exclusion mask
+                        if L > 0:
+                            csel = np.flatnonzero(lens == L)
+                            cm = np.vstack(
+                                [tvecs[i] for i in csel]
+                            ).astype(np.float64)
+                            c_posnorm[csel] = np.sqrt(_seq_sqnorm(cm)) > 0
+                        continue
+                    csel = np.flatnonzero(lens == L)
+                    cm = np.vstack([tvecs[i] for i in csel]).astype(
+                        np.float64
+                    )
+                    cn = np.sqrt(_seq_sqnorm(cm))
+                    c_posnorm[csel] = cn > 0
+                    qsel, qm, qn = qgroups[int(L)]
+                    dot = _seq_dot(cm, qm)
+                    denom = cn[:, None] * qn[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sub = np.where(
+                            (cn[:, None] > 0) & (qn[None, :] > 0),
+                            dot / denom,
+                            0.0,
+                        )
+                    cos[np.ix_(csel, qsel)] = sub
+                # NULL class: both norms positive but lengths differ
+                is_null = (
+                    c_posnorm[:, None]
+                    & q_posnorm[None, :]
+                    & (lens[:, None] != qlens[None, :])
+                )
+                self_m = tids[:, None] == qids[None, :]
+                valid = ~is_null & ~self_m
+                # per-query preselect among valid values
+                masked = np.where(valid, cos, -np.inf)
+                n_valid = valid.sum(axis=0)
+                kth = np.full(n_q, -np.inf)
+                enough = n_valid >= k
+                if enough.any() and masked.shape[0] >= k:
+                    part = np.partition(masked, masked.shape[0] - k, axis=0)[
+                        masked.shape[0] - k
+                    ]
+                    kth[enough] = part[enough]
+                keep = valid & (masked >= kth[None, :] - margin)
+                ii, jj = np.nonzero(keep)
+                frames = [
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[jj],
+                            "neighbor_id": tids[ii],
+                            "_raw": cos[ii, jj],
+                        }
+                    )
+                ]
+                # NULL rows where a query's tile has < k non-null pairs
+                short = np.flatnonzero(n_valid < k)
+                for j in short:
+                    ni = np.flatnonzero(is_null[:, j] & ~self_m[:, j])
+                    if ni.size == 0:
+                        continue
+                    ni = ni[np.argsort(tids[ni])][:k]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    ni.size, qids[j], dtype=np.int64
+                                ),
+                                "neighbor_id": tids[ni],
+                                "_raw": np.full(ni.size, np.nan),
+                            }
+                        )
+                    )
+                out = pd.concat(frames, ignore_index=True)
+                yield out
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.when(~F.isnan(F.col("_raw")), F.col("_raw")), round_dp
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def blocked_pairs_arrow(
     corpus: DataFrame,
     threshold: float,

@@ -199,3 +199,48 @@ def test_blocked_pairs_arrow_tiling(spark, monkeypatch):
         ).collect()
     }
     assert want and got == want
+
+
+def test_brute_force_topk_arrow_matches_expression(spark):
+    """r6 focused test: the Arrow brute-force top-k must match the
+    expression form exactly — ids, ranks, rounded cosines — including null
+    vectors, zero norms, mixed lengths (NULL cosine, NULLS LAST) and
+    rounding-boundary ties."""
+    import numpy as np
+
+    from fuzzy_dedupe_pipeline_spark.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(250):
+        vec = [float(x) for x in rng.standard_normal(64).astype("float32")]
+        rows.append((i, vec))
+    rows += [
+        (1000, None),
+        (1001, [0.0] * 64),
+        (1002, [1.0] * 32),
+        (1003, [1.0] * 32),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter((df.vec_id % 40 == 0))
+    for dp in (4, 6):
+        want = sorted(
+            tuple(r) for r in brute_force_topk(
+                df, queries, k=5, round_dp=dp
+            ).collect()
+        )
+        got = sorted(
+            tuple(r) for r in brute_force_topk_arrow(
+                df, queries, k=5, round_dp=dp
+            ).collect()
+        )
+        assert got == want, (dp, got[:8], want[:8])
+    # tiny corpus: fewer rows than k -> NULL cosines must fill ranks
+    small = spark.createDataFrame(rows[:2] + rows[-4:], "vec_id long, embedding array<float>")
+    q2 = small.filter(small.vec_id == 0)
+    want = sorted(tuple(r) for r in brute_force_topk(small, q2, k=5, round_dp=4).collect())
+    got = sorted(tuple(r) for r in brute_force_topk_arrow(small, q2, k=5, round_dp=4).collect())
+    assert got == want, (got, want)
