@@ -117,15 +117,21 @@ def connected_components(
     # overhead in the profile, but disabling it measured 7.0s vs 3.8s for
     # the 42k-edge fixpoint: the independent stage jobs pipeline better
     # than one monolithic job per checkpoint.)
+    # steps-per-round is edge-count-adaptive (A/B'd at both ends): for the
+    # 42k-edge semantic set the double step nearly halves the driver-serial
+    # round count (5.9 -> 3.8 s), but for a tiny graph (240 edges, 1-2
+    # rounds) the 2x-deeper checkpointed plan costs MORE than the saved
+    # jobs (1.47 -> 1.83 s measured) — small sets take single steps.
+    steps = 2 if n_edges > 10_000 else 1
     try:
         return _cc_loop(
-            spark, sym, max_iters, _ckpt, _ckpt_file, fs_delete
+            spark, sym, max_iters, _ckpt, _ckpt_file, fs_delete, steps
         )
     finally:
         spark_conf.set("spark.sql.shuffle.partitions", old_p)
 
 
-def _cc_loop(spark, sym, max_iters, _ckpt, _ckpt_file, fs_delete):
+def _cc_loop(spark, sym, max_iters, _ckpt, _ckpt_file, fs_delete, steps=2):
     labels = _ckpt(
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -143,7 +149,7 @@ def _cc_loop(spark, sym, max_iters, _ckpt, _ckpt_file, fs_delete):
         # (never increase), so "no change across the double step" implies
         # neither inner step changed anything — the fixpoint test is exact.
         cur = labels
-        for _step in range(2):
+        for _step in range(steps):
             neighbor_min = (
                 sym.join(cur, sym.dst == cur.id)
                 .select(F.col("src").alias("id"), "cluster_id")
