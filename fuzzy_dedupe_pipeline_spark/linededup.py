@@ -14,17 +14,24 @@ Dataflow (designed for 10^12 docs):
      which is exactly where boilerplate mass is. The survivor set is bounded
      by total_lines / min_docs (a heavy-hitter bound), so with a corpus-
      proportional threshold it stays tiny no matter the corpus size.
-  2. remove_boilerplate: the survivor set is collected into ONE array and
-     broadcast; each doc filters its own line array map-side with
-     F.filter + array_contains — order preserved for free, no explode, no
-     second shuffle, no re-assembly join.
+  2. remove_boilerplate: docs posexplode into (pos, line) rows, a broadcast
+     LEFT ANTI hash join against the frequent-lines table drops boilerplate
+     (O(1) hash probe per line, the survivor relation lives in the join's
+     broadcast hash map — never a single giant array row), and the doc is
+     reassembled with a position-ordered collect_list. A per-doc NULL
+     sentinel row rides through the anti join (NULL keys never match) so
+     docs whose every line was boilerplate still come back, with
+     text_clean = '' (array_join skips NULL elements).
 
-  If an absolute (non-proportional) threshold ever makes the survivor set
-  too big to broadcast, the fallback shape is posexplode -> broadcast
-  left_anti join on line -> groupBy(doc) sort_array(struct(pos,line))
-  reconstruct: two shuffles, unbounded set. The default stays the broadcast
-  form because the threshold SHOULD be corpus-proportional (a line in 0.01%
-  of a 10^12-doc corpus is still boilerplate; a line in 50 docs is not).
+  A map-side variant (impl="broadcast_array": the survivor set collected
+  into ONE array row, crossJoin-broadcast, per-line array_contains) is kept
+  for the tiny-set regime — no explode, no reassembly shuffle — but it scans
+  the whole array per line and holds the set as one row, so it is NOT the
+  default: with an absolute (non-proportional) min_docs the survivor set is
+  unbounded, and boilerplate is exactly where frequent-line mass explodes.
+  If the set ever outgrows the broadcast threshold entirely, flipping the
+  anti join to sort-merge is Spark's own fallback — the join form degrades
+  gracefully where the array form OOMs the driver.
 
 The reference has no line concept (spreadsheet rows); this operator exists
 for the north-rule webtext payload. Parity: `remove_boilerplate` has an
@@ -87,23 +94,69 @@ def remove_boilerplate(
     text_col: str = "text",
     sep: str = "\n",
     min_docs: int = 100,
+    impl: str = "anti_join",
 ) -> DataFrame:
     """-> (id_col, text_clean, n_lines, n_removed) with boilerplate lines
     (>= min_docs distinct docs) deleted, surviving-line order preserved.
 
     Docs whose every line is boilerplate survive with text_clean = ''.
+    Both impls compute identical rows (test_impls_agree); see the module
+    docstring for the shape trade-off.
     """
-    boiler = frequent_lines(docs, text_col, sep, min_docs).agg(
-        F.array_sort(F.collect_list("line")).alias("_boiler")
-    )
+    freq = frequent_lines(docs, text_col, sep, min_docs)
     lines = lines_col(F.col(text_col), sep)
-    kept = F.filter(lines, lambda l: ~F.array_contains(F.col("_boiler"), l))
-    return (
-        docs.crossJoin(F.broadcast(boiler))
-        .select(
+    if impl == "broadcast_array":
+        boiler = freq.agg(F.array_sort(F.collect_list("line")).alias("_boiler"))
+        kept = F.filter(lines, lambda l: ~F.array_contains(F.col("_boiler"), l))
+        return docs.crossJoin(F.broadcast(boiler)).select(
             id_col,
             F.concat_ws(sep, kept).alias("text_clean"),
             F.size(lines).cast("long").alias("n_lines"),
             (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    if impl != "anti_join":
+        raise ValueError(f"unknown impl: {impl!r}")
+    # anti_join: explode with position, drop boilerplate via broadcast hash
+    # anti join, reassemble position-ordered. The appended NULL element is a
+    # per-doc sentinel: posexplode gives it pos = n_kept-agnostic last index,
+    # a NULL join key never matches (anti join keeps it), count(_line) and
+    # array_join both skip NULLs — so every doc reaches the groupBy even when
+    # the anti join removed all its real lines, at zero extra shuffle.
+    ex = docs.select(
+        id_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        # posexplode_OUTER: the concat array is never empty/NULL so outer
+        # emits identical rows, but the non-outer form makes
+        # InferFiltersFromGenerate push a size()>0 predicate below the
+        # spread exchange, re-running the whole line split at the scan
+        # (the §7 trap in OPTIMIZATION_r06.md).
+        F.posexplode_outer(
+            F.concat(lines, F.array(F.lit(None).cast("string")))
+        ).alias("_pos", "_line"),
+    )
+    kept = ex.join(
+        F.broadcast(freq.select(F.col("line").alias("_line"))),
+        on="_line",
+        how="left_anti",
+    )
+    return (
+        kept.groupBy(id_col, "n_lines")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.count("_line").cast("long").alias("_n_kept"),
+        )
+        .select(
+            id_col,
+            "text_clean",
+            "n_lines",
+            (F.col("n_lines") - F.col("_n_kept")).cast("long").alias("n_removed"),
         )
     )

@@ -61,21 +61,66 @@ def test_blank_lines_ignored(spark):
     assert (row.text_clean, row.n_lines) == ("a\nb", 2)
 
 
-def test_filter_is_broadcast_not_join(spark):
-    # the per-doc rewrite must be map-side: the only join in the plan is the
-    # 1-row broadcast of the collected boilerplate set — no SortMergeJoin,
-    # no explode/re-assembly of the corpus
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_default_is_broadcast_hash_anti_join(spark):
+    # the default boilerplate probe is a broadcast HASH anti join (O(1)
+    # probe, set lives in the join's hash relation) — never a collected
+    # array scanned per line, never a shuffle join of the corpus
     docs = _docs(spark, [(1, "a\nb"), (2, "a")])
-    plan = (
-        remove_boilerplate(docs, min_docs=2)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    plan = _plan(remove_boilerplate(docs, min_docs=2))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "array_contains" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_broadcast_array_impl_is_map_side(spark):
+    # the tiny-set variant stays map-side: the only join is the 1-row
+    # broadcast of the collected set — no explode/re-assembly of the corpus
+    docs = _docs(spark, [(1, "a\nb"), (2, "a")])
+    plan = _plan(remove_boilerplate(docs, min_docs=2, impl="broadcast_array"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Generate") == 1  # one explode (the frequency count side)
+
+
+def test_impls_agree(spark):
+    # both impls produce identical rows on the adversarial corpus: NULL
+    # text, all-boilerplate doc, internal repetition, blank lines, a doc
+    # with zero boilerplate
+    docs = _docs(
+        spark,
+        [
+            (1, None),
+            (2, "nav\nalpha\nnav\nbeta"),
+            (3, "nav"),
+            (4, "nav\n\n  \ngamma"),
+            (5, "delta\nepsilon"),
+            (6, "nav\nzeta"),
+        ],
+    )
+    key = lambda r: (r.doc_id, r.text_clean, r.n_lines, r.n_removed)
+    a = sorted(map(key, remove_boilerplate(docs, min_docs=3).collect()))
+    b = sorted(
+        map(
+            key,
+            remove_boilerplate(docs, min_docs=3, impl="broadcast_array").collect(),
+        )
+    )
+    assert a == b
+    # and the anti-join rows are right on their own terms
+    assert dict((r[0], r[1]) for r in a) == {
+        1: "",
+        2: "alpha\nbeta",
+        3: "",
+        4: "gamma",
+        5: "delta\nepsilon",
+        6: "zeta",
+    }
 
 
 def test_metachar_separator_is_literal(spark):
