@@ -1,10 +1,12 @@
 """LSH banding -> candidate pairs, with explicit hot-bucket skew handling.
 
 Replaces the reference's FAISS exact top-k self-join
-(dedupe_logic/processor.py:120-138). Banding is a pure equi-join Catalyst
-plans (shuffle hash / sort-merge + AQE skew splitting); unlike the
-reference's k=min(10,n) cap (processor.py:137), recall is governed by the
-(bands x rows) S-curve: P(candidate | J=0.8) = 1-(1-0.8^4)^32 > 1 - 6e-8.
+(dedupe_logic/processor.py:120-138). Banding hash-partitions the band table
+by (band_id, band_hash) once and enumerates pairs inside each bucket
+(value-identical to the former band self-join, one exchange instead of
+three); unlike the reference's k=min(10,n) cap (processor.py:137), recall is
+governed by the (bands x rows) S-curve:
+P(candidate | J=0.8) = 1-(1-0.8^4)^32 > 1 - 6e-8.
 
 Skew: boilerplate-heavy corpora produce hot (band_id, band_hash) buckets whose
 pair blowup is O(m^2). Buckets larger than cfg.max_band_bucket are excluded
@@ -51,33 +53,52 @@ def candidate_pairs(
     persists: caller-owned registry — every frame this function persists is
     appended so the caller can unpersist once results are materialized
     (long-lived sessions: streaming micro-batches, repeated bench runs).
-    """
-    # bands feeds three plan branches (bucket sizes, both self-join sides);
-    # persist so the signature chain upstream isn't re-executed per branch
-    bands = band_table(sigs, cfg).persist()
-    if persists is not None:
-        persists.append(bands)
-    sizes = bands.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_size")
-    )
-    dropped = sizes.filter(F.col("bucket_size") > cfg.max_band_bucket)
-    # hot buckets are few by construction -> broadcast anti-join
-    ok = bands.join(
-        F.broadcast(dropped.select("band_id", "band_hash")),
-        ["band_id", "band_hash"],
-        "left_anti",
-    )
 
-    left = ok.select(
-        F.col("band_id"), F.col("band_hash"), F.col("id").alias("id1")
+    Shape (r6): ONE shuffle of the band table. The old form (bucket-size
+    aggregate + broadcast anti-join + band self-join) moved the 32x-corpus
+    band rows through three exchanges to emit a pair set that is tiny after
+    exact-dedup; grouping each (band_id, band_hash) bucket once and
+    enumerating in-bucket pairs from the sorted id array produces the
+    identical (id1 < id2, distinct) set with a single hash exchange plus
+    the pair distinct. The bucket arrays are bounded by cfg.max_band_bucket
+    (oversized buckets are dropped BEFORE enumeration, exactly as before),
+    so per-task state is O(cap), and a bucket's pairs were produced by one
+    task under the equi-join too — same skew profile, same cap control.
+    """
+    buckets = (
+        band_table(sigs, cfg)
+        .groupBy("band_id", "band_hash")
+        .agg(
+            F.array_sort(F.collect_list("id")).alias("ids"),
+            F.count("*").alias("bucket_size"),
+        )
+        .persist()
     )
-    right = ok.select(
-        F.col("band_id"), F.col("band_hash"), F.col("id").alias("id2")
+    if persists is not None:
+        persists.append(buckets)
+    dropped = buckets.filter(
+        F.col("bucket_size") > cfg.max_band_bucket
+    ).select("band_id", "band_hash", "bucket_size")
+    ok = buckets.filter(
+        (F.col("bucket_size") <= cfg.max_band_bucket)
+        & (F.col("bucket_size") >= 2)
     )
+    # Enumerate ordered pairs per bucket: for every j >= 1, id2 = ids[j]
+    # pairs with each id1 in ids[0..j-1] — with ids ascending (array_sort's
+    # string ordering is the same binary comparison as the `<` operator and
+    # ids are distinct within a bucket), this is exactly {id1 < id2}
+    # (reference J2 ordered-pair guard). slice keeps per-row state O(bucket),
+    # never a flattened O(bucket^2) array. Outer explodes: both arrays are
+    # provably non-empty, and the non-outer form would make
+    # InferFiltersFromGenerate push size()>0 predicates below the exchange.
+    ex2 = ok.select(
+        "ids", F.posexplode_outer("ids").alias("_j", "id2")
+    ).filter(F.col("_j") >= 1)
     pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("id1") < F.col("id2"))  # reference J2 ordered-pair guard
-        .select("id1", "id2")
+        ex2.select(
+            F.explode_outer(F.slice("ids", 1, F.col("_j"))).alias("id1"), "id2"
+        )
         .dropDuplicates(["id1", "id2"])  # multi-band collisions (reference J2 set)
+        .select("id1", "id2")
     )
     return pairs, dropped

@@ -62,7 +62,11 @@ def test_flagship_has_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_lsh_band_join_is_equi_join(spark):
+def test_lsh_band_pairs_single_bucket_shuffle(spark):
+    """Candidate generation is bucketed, never all-pairs: no cartesian/BNLJ
+    anywhere, and the band table crosses exactly ONE hash exchange on the
+    bucket key (the in-bucket enumeration rides the grouped rows; the only
+    other exchange is the pair distinct)."""
     from fuzzy_dedupe_pipeline_spark.config import DedupeConfig
     from fuzzy_dedupe_pipeline_spark.dataflow import clean_docs
     from fuzzy_dedupe_pipeline_spark.lsh import candidate_pairs
@@ -79,9 +83,9 @@ def test_lsh_band_join_is_equi_join(spark):
     pairs, _ = candidate_pairs(sigs, DedupeConfig())
     plan = _plan(pairs)
     assert "CartesianProduct" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("hashpartitioning(band_id") == 1
+    assert plan.count("hashpartitioning(id1") == 1  # the pair distinct
 
 
 def test_cosine_blocked_is_equi_join(spark):
