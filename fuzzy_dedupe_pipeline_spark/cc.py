@@ -32,12 +32,27 @@ instead, trading one distributed write per round for executor-loss recovery.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+# Edge sets at or below this size take the driver union-find fast path (see
+# connected_components docstring); 0 disables it. At the default 500k edges
+# the collected rows are ~tens of MB — the same bounded-driver-collect class
+# as the IVF centroid fit (similarity.py) and the streaming bucket lists —
+# and the returned relation is one row per NODE, far smaller still. The
+# break-even is where collect throughput (~1 s per few-hundred-k rows)
+# approaches the distributed fixpoint's ~0.6 s/round driver-serial floor.
+DRIVER_CC_MAX_EDGES = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "500000"))
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 50, checkpoint_dir: str | None = None
+    edges: DataFrame,
+    max_iters: int = 50,
+    checkpoint_dir: str | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """edges: (id1, id2) undirected (any orientation). Returns
     (id, cluster_id) for every id that appears in an edge; cluster_id = min id
@@ -54,7 +69,26 @@ def connected_components(
     (each round shrinks the worst unconverged chain by >2x, so the default 50
     covers any component with diameter < 2^50 — hitting the cap means
     something is broken, and silent wrong labels are never acceptable).
+
+    driver_max_edges (default: env SPARK_GRAFT_CC_DRIVER_EDGES, 500k): edge
+    sets at or below this size are solved by union-find ON THE DRIVER — the
+    materialized symmetrized edge table (already checkpointed + counted for
+    the shuffle-width/step gates) is collected once (a few MB at the cap,
+    the same bounded-collect class as the IVF centroid fit) and the labels
+    come back as a local relation. The wall cost of the distributed fixpoint
+    on a small graph is pure driver-serial job latency (~0.6 s/round
+    regardless of data size), so a 42k-edge graph pays ~3 s for work the
+    driver does in milliseconds; a web-scale edge set exceeds the cap and
+    keeps the full distributed loop untouched. Labels are EXACTLY the
+    distributed result: cluster_id = min member id, where Python's str/int
+    ordering equals Spark's binary UTF8String / numeric comparison
+    (UTF-8 byte order is code-point order), asserted cross-path by
+    test_driver_path_matches_distributed. Pass 0 to force the distributed
+    loop (the non-convergence guard and per-round checkpoint semantics only
+    exist there).
     """
+    if driver_max_edges is None:
+        driver_max_edges = DRIVER_CC_MAX_EDGES
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -109,6 +143,8 @@ def connected_components(
     # conf is restored in a finally.
     spark_conf = spark.conf
     n_edges = sym.count()
+    if driver_max_edges > 0 and n_edges <= driver_max_edges:
+        return _driver_union_find(spark, sym, edges.schema[0].dataType)
     default_p = spark.sparkContext.defaultParallelism
     p = max(1, min(default_p, (n_edges // 100_000) + 1))
     old_p = spark_conf.get("spark.sql.shuffle.partitions")
@@ -129,6 +165,42 @@ def connected_components(
         )
     finally:
         spark_conf.set("spark.sql.shuffle.partitions", old_p)
+
+
+def _driver_union_find(spark, sym, id_type) -> DataFrame:
+    """Exact small-graph path: collect the (bounded, checkpointed)
+    symmetrized edges, union-find with path compression, label every node
+    with the MIN member id of its component (same ordering as the
+    distributed min-label fixpoint — Python str/int comparison coincides
+    with Spark's binary/numeric ordering). Returns a local relation with the
+    edge id dtype, so downstream joins broadcast it. NULL ids (excluded by
+    contract upstream) fail loudly in min() rather than silently labeling."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.select("src", "dst").collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # roots are min ids already: unions always attach the larger root under
+    # the smaller, so every root is the min id of its component
+    rows = [(node, find(node)) for node in parent]
+    schema = StructType(
+        [StructField("id", id_type, True), StructField("cluster_id", id_type, True)]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def _cc_loop(spark, sym, max_iters, _ckpt, _ckpt_file, fs_delete, steps=2):

@@ -71,7 +71,7 @@ def test_long_path_log_rounds(spark):
         [(f"n{i:03d}", f"n{i+1:03d}") for i in range(199)],
         "id1 string, id2 string",
     )
-    labels = connected_components(edf, max_iters=14)
+    labels = connected_components(edf, max_iters=14, driver_max_edges=0)
     got = {r.id: r.cluster_id for r in labels.collect()}
     assert set(got.values()) == {"n000"}
     assert len(got) == 200
@@ -86,7 +86,7 @@ def test_nonconvergence_raises(spark):
         "id1 string, id2 string",
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edf, max_iters=2)
+        connected_components(edf, max_iters=2, driver_max_edges=0)
 
 
 def test_random_graph(spark):
@@ -112,11 +112,16 @@ def test_reliable_checkpoint_dir_identical_labels(spark, tmp_path):
     edf = spark.createDataFrame(
         [(str(a), str(b)) for a, b in edges], "id1 string, id2 string"
     )
-    base = {r.id: r.cluster_id for r in connected_components(edf).collect()}
+    base = {
+        r.id: r.cluster_id
+        for r in connected_components(edf, driver_max_edges=0).collect()
+    }
     ckdir = str(tmp_path / "cc_ckpt")
     rel = {
         r.id: r.cluster_id
-        for r in connected_components(edf, checkpoint_dir=ckdir).collect()
+        for r in connected_components(
+            edf, checkpoint_dir=ckdir, driver_max_edges=0
+        ).collect()
     }
     assert rel == base
     # reliable checkpoints actually wrote RDD data under the dir
@@ -139,7 +144,7 @@ def test_reliable_checkpoints_are_cleaned_per_round(spark, tmp_path):
         "id1 string, id2 string",
     )
     ckdir = str(tmp_path / "cc_ckpt_clean")
-    labels = connected_components(edf, checkpoint_dir=ckdir)
+    labels = connected_components(edf, checkpoint_dir=ckdir, driver_max_edges=0)
     assert labels.select("cluster_id").distinct().count() == 1
     # the context nests checkpoints under <dir>/<uuid>/rdd-*
     rdd_dirs = [
@@ -166,7 +171,7 @@ def test_concurrent_reliable_checkpoint_ccs_do_not_interfere(spark, tmp_path):
             [(f"{tag}:{i:03d}", f"{tag}:{i + 1:03d}") for i in range(n - 1)],
             "id1 string, id2 string",
         )
-        out = connected_components(edf, checkpoint_dir=ckdir)
+        out = connected_components(edf, checkpoint_dir=ckdir, driver_max_edges=0)
         return {r.id: r.cluster_id for r in out.collect()}
 
     with ThreadPoolExecutor(2) as ex:
@@ -175,3 +180,44 @@ def test_concurrent_reliable_checkpoint_ccs_do_not_interfere(spark, tmp_path):
         got_a, got_b = fa.result(), fb.result()
     assert set(got_a.values()) == {"a:000"}
     assert set(got_b.values()) == {"b:000"}
+
+
+def test_driver_path_matches_distributed(spark):
+    """The small-graph driver union-find must return EXACTLY the distributed
+    fixpoint's labels (same min-id names, not just the same partition) — on
+    string ids whose binary UTF8 order is exercised (zero-padded + ragged
+    lengths, where '10' < '9' lexicographically) and on long ids."""
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b)) for a, b in rng.integers(0, 300, size=(400, 2)) if a != b
+    ]
+    # string ids, ragged decimal rendering: lexicographic != numeric order
+    edf_s = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "id1 string, id2 string"
+    )
+    drv = {r.id: r.cluster_id for r in connected_components(edf_s).collect()}
+    dist = {
+        r.id: r.cluster_id
+        for r in connected_components(edf_s, driver_max_edges=0).collect()
+    }
+    assert drv == dist
+    # long ids: numeric min
+    edf_l = spark.createDataFrame(edges, "id1 long, id2 long")
+    drv_l = {r.id: r.cluster_id for r in connected_components(edf_l).collect()}
+    dist_l = {
+        r.id: r.cluster_id
+        for r in connected_components(edf_l, driver_max_edges=0).collect()
+    }
+    assert drv_l == dist_l
+    # dtype must round-trip (downstream unions/joins need exact types)
+    assert (
+        connected_components(edf_l).schema["cluster_id"].dataType.simpleString()
+        == "bigint"
+    )
+
+
+def test_driver_path_empty_edges(spark):
+    edf = spark.createDataFrame([], "id1 string, id2 string")
+    out = connected_components(edf)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "cluster_id"]
