@@ -1130,7 +1130,12 @@ def _q_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = clusters.select(
         F.col("url").cast("long").alias("id"), "cluster_id"
     )
-    scores = quality_score_cols(docs).select(
+    # size-gated spread for the SCORES side (same §2 gate as the standalone
+    # quality_score query): the clustering side is rebalanced inside
+    # dedupe_clusters, but this branch reads the one-row-group documents
+    # scan directly — unspread, the whole regex quality model ran in the
+    # final 2-task assembly stage (profiled 2.06 s at the 50k-doc scale).
+    scores = quality_score_cols(_spread(docs, min_mb=2.0)).select(
         F.col("doc_id").alias("id"), "quality_score"
     )
     return quality_representatives(members, scores).select(

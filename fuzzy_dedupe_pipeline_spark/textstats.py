@@ -358,36 +358,47 @@ def ngram_jaccard_pairs(
         F.size(F.col("_gd")).alias("n_grams"),
         F.explode_outer(F.col("_gd")).alias("gram"),
     ).filter(F.col("gram").isNotNull())
-    # ONE exchange on the join key, shared by all three consumers (the
-    # gram-frequency aggregate and both sides of the self-join) via
-    # ReusedExchange — without it each consumer re-runs the tokenize/gram
-    # lineage from the scan. It also pre-partitions the self-join and the
-    # frequency groupBy, so neither adds an exchange of its own.
-    g = g.repartition("gram", *block_cols)
-    sizes = g.groupBy("gram", *block_cols).agg(
-        F.count("*").alias("bucket_size")
+    # r6 second rewrite: per-(gram, block) bucket enumeration instead of the
+    # gram self-join — the same shape as lsh.candidate_pairs. The intended
+    # shared-exchange form (repartition on gram reused by the frequency agg,
+    # the anti-join, and both self-join sides) did NOT reuse in practice:
+    # AQE planned the self-join as a BroadcastHashJoin, and the committed
+    # plan shows the whole scan->tokenize->gram lineage FOUR times. One
+    # groupBy(gram, blocks) with a sorted (doc_id, n_grams) member list
+    # computes that lineage ONCE, yields the drop log from the same
+    # aggregate, and enumerates every a.doc_id < b.doc_id pair in-bucket
+    # (array_sort orders structs by doc_id first — unique per bucket since
+    # grams are per-doc distinct — with the same string/numeric ordering as
+    # the `<` operator). Per-task state is O(max_gram_bucket); oversized
+    # buckets are excluded before enumeration exactly as the anti-join did.
+    buckets = g.groupBy("gram", *block_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("n_grams")))
+        ).alias("_members"),
+        F.count("*").alias("bucket_size"),
     )
-    dropped = sizes.filter(F.col("bucket_size") > max_gram_bucket)
-    ok = g.join(
-        F.broadcast(dropped.select("gram", *block_cols)),
-        ["gram", *block_cols],
-        "left_anti",
+    dropped = buckets.filter(F.col("bucket_size") > max_gram_bucket).select(
+        "gram", *block_cols, "bucket_size"
     )
-    block_eq = [
-        F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols
-    ]
+    ok = buckets.filter(
+        (F.col("bucket_size") <= max_gram_bucket)
+        & (F.col("bucket_size") >= 2)
+    )
+    # outer explodes dodge the InferFiltersFromGenerate pushdown trap; both
+    # arrays are provably non-empty on these rows
+    ex2 = ok.select(
+        "_members", F.posexplode_outer("_members").alias("_j", "_m2")
+    ).filter(F.col("_j") >= 1)
+    co = ex2.select(
+        F.explode_outer(F.slice("_members", 1, F.col("_j"))).alias("_m1"),
+        "_m2",
+    )
     shared = (
-        ok.alias("a")
-        .join(
-            ok.alias("b"),
-            [F.col("a.gram") == F.col("b.gram"), *block_eq,
-             F.col("a.doc_id") < F.col("b.doc_id")],
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            F.col("a.n_grams").alias("n1"),
-            F.col("b.n_grams").alias("n2"),
+        co.groupBy(
+            F.col("_m1.doc_id").alias("id1"),
+            F.col("_m2.doc_id").alias("id2"),
+            F.col("_m1.n_grams").alias("n1"),
+            F.col("_m2.n_grams").alias("n2"),
         )
         .agg(F.count("*").cast("long").alias("shared"))
     )
