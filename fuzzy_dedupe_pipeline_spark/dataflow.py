@@ -305,37 +305,51 @@ def simhash_near_dup_pairs(
     banded = sigs.select(
         F.col("id"), F.col("simhash"), F.explode(chunks).alias("c")
     ).select("id", "simhash", "c.chunk_id", "c.chunk_val")
-    hot = (
+    # r6 second pass: bucket enumeration (same shape as lsh.candidate_pairs)
+    # instead of bucket-size agg + broadcast anti-join + banded self-join.
+    # The unpersisted signature UDF lineage used to be evaluated up to
+    # THREE times (the hot-bucket aggregate and both join sides ran as
+    # concurrent AQE stages, profiled as twin 1.2 s stages at 50k docs);
+    # one groupBy computes it once, the size filter replaces the anti-join
+    # (identical cap semantics), and sorted-struct enumeration emits exactly
+    # the {id1 < id2} candidate set (ids are unique within a bucket — one
+    # row per chunk per doc). The hamming filter stays BEFORE the distinct
+    # (r6 first pass, guide §2.3): the O(bucket^2) candidate stream is
+    # filtered by the cheap xor/bit_count predicate as it is generated, so
+    # the distinct still shuffles only true near-dup pairs.
+    buckets = (
         banded.groupBy("chunk_id", "chunk_val")
-        .agg(F.count("*").alias("bucket_size"))
-        .filter(F.col("bucket_size") > cfg.max_band_bucket)
-    )
-    banded = banded.join(
-        F.broadcast(hot.select("chunk_id", "chunk_val")),
-        ["chunk_id", "chunk_val"],
-        "left_anti",
-    )
-    a = banded.select(
-        "chunk_id", "chunk_val", F.col("id").alias("id1"), F.col("simhash").alias("s1")
-    )
-    b = banded.select(
-        "chunk_id", "chunk_val", F.col("id").alias("id2"), F.col("simhash").alias("s2")
-    )
-    # hamming filter BEFORE dropDuplicates (r6): the banded self-join emits
-    # O(bucket^2) candidate rows (87M at 50k docs with 7-bit chunks) and the
-    # distinct used to shuffle ALL of them; the xor/bit_count predicate is
-    # cheap codegen'd per-row work, and s1/s2 are functions of id1/id2, so
-    # filtering first then deduplicating keeps the identical pair set while
-    # the distinct shuffle carries only true near-dup pairs (guide §2.3:
-    # aggregate/filter before you shuffle).
-    return (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .filter(
-            (F.col("id1") < F.col("id2"))
-            & (F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))) <= max_hamming)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("_members"),
+            F.count("*").alias("bucket_size"),
         )
-        .select("id1", "id2", "s1", "s2")
-        .dropDuplicates(["id1", "id2"])
+        .filter(
+            (F.col("bucket_size") <= cfg.max_band_bucket)
+            & (F.col("bucket_size") >= 2)
+        )
+    )
+    # outer explodes dodge the InferFiltersFromGenerate pushdown trap; both
+    # arrays are provably non-empty on these rows
+    ex2 = buckets.select(
+        "_members", F.posexplode_outer("_members").alias("_j", "_m2")
+    ).filter(F.col("_j") >= 1)
+    cand = (
+        ex2.select(
+            F.explode_outer(F.slice("_members", 1, F.col("_j"))).alias("_m1"),
+            "_m2",
+        )
+        .select(
+            F.col("_m1.id").alias("id1"),
+            F.col("_m2.id").alias("id2"),
+            F.col("_m1.simhash").alias("s1"),
+            F.col("_m2.simhash").alias("s2"),
+        )
+        .filter(F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))) <= max_hamming)
+    )
+    return (
+        cand.dropDuplicates(["id1", "id2"])
         .select(
             "id1",
             "id2",
