@@ -200,7 +200,11 @@ def _driver_union_find(spark, sym, id_type) -> DataFrame:
     schema = StructType(
         [StructField("id", id_type, True), StructField("cluster_id", id_type, True)]
     )
-    return spark.createDataFrame(rows, schema)
+    # the local relation reports no stats (defaultSizeInBytes), so without a
+    # hint every downstream labels join plans sort-merge and SHUFFLES the
+    # corpus side; the label table is bounded by 2*driver_max_edges rows
+    # (tens of MB worst case) — exactly what broadcast is for
+    return F.broadcast(spark.createDataFrame(rows, schema))
 
 
 def _cc_loop(spark, sym, max_iters, _ckpt, _ckpt_file, fs_delete, steps=2):
