@@ -933,18 +933,33 @@ def _q_exact_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pages, planted = _planted_run_pages(spark, sf_dir)
-    n_planted = planted.count()
     cand, _dropped = substring_candidates(
         pages, DedupeConfig(), id_col="id", tokens_col_name="tokens"
     )
-    n_found = cand.join(
-        planted.select("id1", "id2"), ["id1", "id2"], "left_semi"
-    ).count()
     lcs = exact_lcs_pairs(pages, planted.select("id1", "id2"))
-    n_exact = (
-        lcs.join(planted, ["id1", "id2"])
-        .filter(F.col("lcs_tokens") == F.col("want_lcs"))
-        .count()
+    # r6: the three gate counts are crossJoined 1-row aggregates collected in
+    # ONE job instead of three sequential .count() actions — each action on
+    # this 300-row planted family cost a full driver job round (the gate is
+    # job-latency-bound, not compute-bound); the counted values are the same
+    # aggregates over the same frames.
+    stats = (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(
+            cand.join(
+                planted.select("id1", "id2"), ["id1", "id2"], "left_semi"
+            ).agg(F.count("*").alias("n_found"))
+        )
+        .crossJoin(
+            lcs.join(planted, ["id1", "id2"])
+            .filter(F.col("lcs_tokens") == F.col("want_lcs"))
+            .agg(F.count("*").alias("n_exact"))
+        )
+        .first()
+    )
+    n_planted, n_found, n_exact = (
+        stats["n_planted"],
+        stats["n_found"],
+        stats["n_exact"],
     )
     return spark.createDataFrame(
         [
@@ -974,22 +989,34 @@ def _q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     guarantee = DedupeConfig().substring_gram + DedupeConfig().winnow_window - 1
     pages, planted = _planted_run_pages(spark, sf_dir)
-    n_planted = planted.count()
     pairs = planted.select("id1", "id2")
     cleaned = remove_duplicate_spans(pages, pairs).localCheckpoint()
-    n_removed_exact = (
-        cleaned.join(planted, cleaned.id == planted.id2)
-        .filter(F.col("n_removed_tokens") == F.col("want_lcs"))
-        .count()
+    # r6: four sequential .count() actions fused into one crossJoined
+    # 1-row-aggregate job (same rationale as _q_exact_substring_run — the
+    # 300-row gate pays per-action job rounds, not compute)
+    stats = (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(
+            cleaned.join(planted, cleaned.id == planted.id2)
+            .filter(F.col("n_removed_tokens") == F.col("want_lcs"))
+            .agg(F.count("*").alias("n_removed_exact"))
+        )
+        .crossJoin(
+            cleaned.filter(
+                F.col("id").startswith("a:") & (F.col("n_removed_tokens") == 0)
+            ).agg(F.count("*").alias("n_keepers_intact"))
+        )
+        .crossJoin(
+            exact_lcs_pairs(cleaned.select("id", "tokens"), pairs)
+            .filter(F.col("lcs_tokens") >= guarantee)
+            .agg(F.count("*").alias("n_run_left"))
+        )
+        .first()
     )
-    n_keepers_intact = cleaned.filter(
-        F.col("id").startswith("a:") & (F.col("n_removed_tokens") == 0)
-    ).count()
-    n_run_left = (
-        exact_lcs_pairs(cleaned.select("id", "tokens"), pairs)
-        .filter(F.col("lcs_tokens") >= guarantee)
-        .count()
-    )
+    n_planted = stats["n_planted"]
+    n_removed_exact = stats["n_removed_exact"]
+    n_keepers_intact = stats["n_keepers_intact"]
+    n_run_left = stats["n_run_left"]
     return spark.createDataFrame(
         [
             (
